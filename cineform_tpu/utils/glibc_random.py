@@ -1,0 +1,35 @@
+"""Bit-exact model of glibc's rand() (TYPE_3 additive feedback generator).
+
+The reference's WaveletDemo injects noise into the low bits of 8-bit test
+images via unseeded `rand()` (`Example/WaveletDemo/utils.c:601`).  Its PSNR
+gate (54.386 dB on data/testpatt.pgm, reference README.md:103-112) therefore
+depends on glibc's deterministic default-seed sequence; this model reproduces
+it so our golden tests can hit the same number.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def glibc_rand_sequence(n: int, seed: int = 1) -> np.ndarray:
+    """First n outputs of glibc rand() with the given seed."""
+    r = np.zeros(344 + n, dtype=np.uint64)
+    r[0] = seed
+    for i in range(1, 31):
+        # r[i] = (16807 * r[i-1]) % 2147483647, Schrage without overflow
+        prev = int(r[i - 1])
+        hi, lo = divmod(prev, 127773)
+        word = 16807 * lo - 2836 * hi
+        if word < 0:
+            word += 2147483647
+        r[i] = word
+    for i in range(31, 34):
+        r[i] = r[i - 31]
+    out = np.empty(n, dtype=np.int64)
+    mask = np.uint64(0xFFFFFFFF)
+    for i in range(34, 344 + n):
+        r[i] = (r[i - 31] + r[i - 3]) & mask
+        if i >= 344:
+            out[i - 344] = int(r[i] >> np.uint64(1))
+    return out

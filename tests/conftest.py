@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-chip benchmarks go through bench.py; tests validate numerics and
+sharding on host CPU so they run anywhere (the driver validates the
+multi-chip path separately via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REFERENCE_ROOT = "/root/reference"
+TESTPATT = os.path.join(REFERENCE_ROOT, "data", "testpatt.pgm")
