@@ -1,0 +1,254 @@
+"""Production CFHD intra transform as JAX ops (bit-exact vs ref/intra.py).
+
+TPU-first design notes:
+- int32 elementwise adds/shifts on the VPU over batched planes (leading batch
+  dims vectorize trivially); XLA fuses each DWT level into a few loops.
+- Horizontal deinterleave via reshape (..., W/2, 2) (lane-friendly), vertical
+  filters are sublane shifts.
+- int16 saturation is explicit (`jnp.clip`) at every band store, matching
+  the reference's `_mm_adds_epi16`/SATURATE semantics for in-range video.
+- Quantizer divisors and prescale shifts are static Python ints, so the
+  multiplier/midpoint constants fold into the compiled program.
+
+Behavioral contract: the production SSE2 kernels
+(`Codec/spatial.c:14122` FilterSpatialYUVQuant16s,
+ `Codec/spatial.c:3669`  FilterHorizontalRow10bit16s,
+ `Codec/quantize.c:1256` QuantizeRow16sTo16s,
+ `Codec/InvertHorizontalStrip16s.c:1374/3770` inverse strips),
+validated against the NumPy oracle in ref/intra.py which is itself validated
+byte-exactly against the reference SDK.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+ROUNDING = 4
+
+
+def sat16(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, -32768, 32767)
+
+
+def _split_even_odd(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    shp = x.shape[:-1] + (x.shape[-1] // 2, 2)
+    pairs = x.reshape(shp)
+    return pairs[..., 0], pairs[..., 1]
+
+
+def _interleave(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.stack([even, odd], axis=-1)
+    return out.reshape(even.shape[:-1] + (even.shape[-1] * 2,))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def h26_forward(x: jnp.ndarray, prescale: int = 0):
+    """Horizontal production 2-6 forward along the last axis.
+
+    prescale=2: per-tap (x+3)>>2 for the highpass, (x0+x1+3)>>2 lowpass
+    (`FilterHorizontalRow10bit16s`)."""
+    even, odd = _split_even_odd(x)
+    if prescale:
+        r = (1 << prescale) - 1
+        pe = (even + r) >> prescale
+        po = (odd + r) >> prescale
+        low = (even + odd + r) >> prescale
+    else:
+        pe, po = even, odd
+        low = even + odd
+    plow = pe + po
+    diff = pe - po
+    interior = ((-plow[..., :-2] + plow[..., 2:] + ROUNDING) >> 3) + diff[..., 1:-1]
+    first = (
+        5 * pe[..., 0] - 11 * po[..., 0]
+        + 4 * pe[..., 1] + 4 * po[..., 1]
+        - pe[..., 2] - po[..., 2] + ROUNDING
+    ) >> 3
+    last = (
+        11 * pe[..., -1] - 5 * po[..., -1]
+        - 4 * po[..., -2] - 4 * pe[..., -2]
+        + po[..., -3] + pe[..., -3] + ROUNDING
+    ) >> 3
+    high = jnp.concatenate([first[..., None], interior, last[..., None]], axis=-1)
+    return sat16(low), sat16(high)
+
+
+def v26_forward(x: jnp.ndarray):
+    """Vertical production 2-6 forward along axis -2 (borders use the raw
+    first/last six rows, `Codec/spatial.c:14266,9968`)."""
+    even, odd = x[..., 0::2, :], x[..., 1::2, :]
+    low = even + odd
+    diff = even - odd
+    interior = ((-low[..., :-2, :] + low[..., 2:, :] + ROUNDING) >> 3) + diff[..., 1:-1, :]
+    first = (
+        5 * x[..., 0:1, :] - 11 * x[..., 1:2, :]
+        + 4 * x[..., 2:3, :] + 4 * x[..., 3:4, :]
+        - x[..., 4:5, :] - x[..., 5:6, :] + ROUNDING
+    ) >> 3
+    last = (
+        11 * x[..., -2:-1, :] - 5 * x[..., -1:, :]
+        - 4 * x[..., -3:-2, :] - 4 * x[..., -4:-3, :]
+        + x[..., -5:-4, :] + x[..., -6:-5, :] + ROUNDING
+    ) >> 3
+    high = jnp.concatenate([first, interior, last], axis=-2)
+    return sat16(low), sat16(high)
+
+
+def quantize(v: jnp.ndarray, q: int, midpoint_prequant: int = 2) -> jnp.ndarray:
+    """Production quantizer (`Codec/quantize.c:1256`), q static."""
+    if q <= 1:
+        return v
+    mult = (1 << 16) // q
+    mid = q // midpoint_prequant
+    if midpoint_prequant == 2 and mid:
+        mid -= 1
+    a = jnp.abs(v)
+    mag = (((a + mid) & 0xFFFF) * mult) >> 16
+    return jnp.sign(v) * mag
+
+
+def dwt2d_forward(x: jnp.ndarray, prescale: int = 0,
+                  quant: tuple[int, int, int] | None = None):
+    """One production 2D level; returns (LL, (LH, HL, HH))."""
+    low, high = h26_forward(x, prescale)
+    ll, hl = v26_forward(low)
+    lh, hh = v26_forward(high)
+    if quant is not None:
+        lh = quantize(lh, quant[0])
+        hl = quantize(hl, quant[1])
+        hh = quantize(hh, quant[2])
+    return ll, (lh, hl, hh)
+
+
+def forward_channel(plane: jnp.ndarray, band_quant, prescale):
+    """3-level intra forward; returns (lowpass, [(LH, HL, HH)] finest first)."""
+    ll = plane
+    bands = []
+    for k in range(3):
+        ll, highs = dwt2d_forward(ll, prescale[k], tuple(band_quant[k]))
+        bands.append(highs)
+    return ll, bands
+
+
+# ---------------------------------------------------------------------------
+# Inverse
+# ---------------------------------------------------------------------------
+
+def v26_inverse(low: jnp.ndarray, high: jnp.ndarray) -> jnp.ndarray:
+    te = (low[..., :-2, :] - low[..., 2:, :] + ROUNDING) >> 3
+    to = (-low[..., :-2, :] + low[..., 2:, :] + ROUNDING) >> 3
+    even_i = (te + low[..., 1:-1, :] + high[..., 1:-1, :]) >> 1
+    odd_i = (to + low[..., 1:-1, :] - high[..., 1:-1, :]) >> 1
+    t0e = (11 * low[..., 0:1, :] - 4 * low[..., 1:2, :] + low[..., 2:3, :] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0:1, :] + 4 * low[..., 1:2, :] - low[..., 2:3, :] + ROUNDING) >> 3
+    even_f = (t0e + high[..., 0:1, :]) >> 1
+    odd_f = (t0o - high[..., 0:1, :]) >> 1
+    tke = (5 * low[..., -1:, :] + 4 * low[..., -2:-1, :] - low[..., -3:-2, :] + ROUNDING) >> 3
+    tko = (11 * low[..., -1:, :] - 4 * low[..., -2:-1, :] + low[..., -3:-2, :] + ROUNDING) >> 3
+    even_l = (tke + high[..., -1:, :]) >> 1
+    odd_l = (tko - high[..., -1:, :]) >> 1
+    even = sat16(jnp.concatenate([even_f, even_i, even_l], axis=-2))
+    odd = sat16(jnp.concatenate([odd_f, odd_i, odd_l], axis=-2))
+    out = jnp.stack([even, odd], axis=-2)  # (..., half, 2, W)
+    return out.reshape(even.shape[:-2] + (even.shape[-2] * 2,) + even.shape[-1:])
+
+
+def _h26_inverse_parts(low: jnp.ndarray, high: jnp.ndarray):
+    """Shared horizontal inverse terms (before descale/output handling)."""
+    te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
+    even_i = te + low[..., 1:-1] + high[..., 1:-1]
+    odd_i = to + low[..., 1:-1] - high[..., 1:-1]
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
+    even_f = t0e + high[..., 0]
+    odd_f = t0o - high[..., 0]
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
+    even_l = tke + high[..., -1]
+    odd_l = tko - high[..., -1]
+    even = jnp.concatenate([even_f[..., None], even_i, even_l[..., None]], -1)
+    odd = jnp.concatenate([odd_f[..., None], odd_i, odd_l[..., None]], -1)
+    return even, odd
+
+
+def h26_inverse(low: jnp.ndarray, high: jnp.ndarray, descale: int = 1) -> jnp.ndarray:
+    """Horizontal inverse; descale=2 keeps the extra bit (<<1 instead of >>1,
+    `InvertHorizontalStripDescale16s`)."""
+    even, odd = _h26_inverse_parts(low, high)
+    if descale == 2:
+        even, odd = even << 1, odd << 1
+    else:
+        even, odd = even >> 1, odd >> 1
+    return _interleave(sat16(even), sat16(odd))
+
+
+def h26_inverse_to_output(low: jnp.ndarray, high: jnp.ndarray,
+                          descale_shift: int = 2) -> jnp.ndarray:
+    """Final horizontal inverse fused with 8-bit output conversion
+    (`InvertHorizontalStrip16sToYUYV`): interior clamps to >= 0 before >>1
+    (the +2048 usub trick); borders shift arithmetically; dither omitted
+    (the reference adds a {0,1} random dither here)."""
+    te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
+    even_i = (jnp.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0) >> 1) >> descale_shift
+    odd_i = (jnp.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0) >> 1) >> descale_shift
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
+    even_f = (((t0e + high[..., 0]) >> 1) >> descale_shift)[..., None]
+    odd_f = (((t0o - high[..., 0]) >> 1) >> descale_shift)[..., None]
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
+    even_l = (((tke + high[..., -1]) >> 1) >> descale_shift)[..., None]
+    odd_l = (((tko - high[..., -1]) >> 1) >> descale_shift)[..., None]
+    even = jnp.concatenate([even_f, even_i, even_l], -1)
+    odd = jnp.concatenate([odd_f, odd_i, odd_l], -1)
+    out = _interleave(even, odd)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1) -> jnp.ndarray:
+    low = v26_inverse(ll, hl)
+    high = v26_inverse(lh, hh)
+    return h26_inverse(low, high, descale)
+
+
+def inverse_channel_to_8bit(lowpass, bands, prescale):
+    """Full 3-level inverse producing the 8-bit output plane."""
+    ll = lowpass
+    for k in (2, 1):
+        lh, hl, hh = bands[k]
+        ll = dwt2d_inverse(ll, lh, hl, hh, 2 if prescale[k] == 2 else 1)
+    lh, hl, hh = bands[0]
+    low = v26_inverse(ll, hl)
+    high = v26_inverse(lh, hh)
+    return h26_inverse_to_output(low, high)
+
+
+# ---------------------------------------------------------------------------
+# YUY2 unpack / pack (device side)
+# ---------------------------------------------------------------------------
+
+def unpack_yuy2(frame: jnp.ndarray, precision: int = 10):
+    """(..., H, 2W) uint8 YUY2 -> (Y, V, U) int32 planes at `precision` bits.
+
+    Channel order Y, V(Cr), U(Cb) matches `UnpackRowYUV16s`
+    (`Codec/convert.c:5222-5284`)."""
+    h = frame.shape[-2]
+    w2 = frame.shape[-1]
+    quad = frame.reshape(frame.shape[:-2] + (h, w2 // 4, 4)).astype(jnp.int32)
+    shift = precision - 8
+    y = quad[..., (0, 2)].reshape(frame.shape[:-2] + (h, w2 // 2)) << shift
+    u = quad[..., 1] << shift
+    v = quad[..., 3] << shift
+    return y, v, u
+
+
+def pack_yuy2(y: jnp.ndarray, v: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """8-bit (Y, V, U) planes -> (..., H, 2W) uint8 YUY2."""
+    h, w = y.shape[-2], y.shape[-1]
+    quad = jnp.stack([y[..., 0::2], u, y[..., 1::2], v], axis=-1)
+    return quad.reshape(y.shape[:-2] + (h, 2 * w)).astype(jnp.uint8)

@@ -1,0 +1,332 @@
+"""Bit-exact NumPy model of the production CFHD intra-frame codec (YUV 4:2:2).
+
+This mirrors the *shipping* encoder/decoder pipeline (not the WaveletDemo
+model in ref/scalar.py):
+
+encode (per channel, `Codec/encoder.c:1897` EncodeSample intra path):
+  YUY2 unpack -> 10-bit planes      UnpackRowYUV16s      convert.c:4667
+  w[0] 2D 2-6 DWT + quant           FilterSpatialYUVQuant16s  spatial.c:14122
+  w[1] DWT with prescale 2 + quant  FilterSpatialV210Quant16s spatial.c:12942
+                                    (per-tap prescale (x+3)>>2,
+                                     FilterHorizontalRow10bit16s spatial.c:3669)
+  w[2] DWT + quant                  FilterSpatialQuant16s
+  lowpass raw 16bpp                 EncodeLowPassBand    encoder.c:4251
+  band entropy coding               EncodeQuantLongRuns  encoder.c:5702
+                                    (host VLC in entropy/host.py)
+
+decode (`Codec/decoder.c:10078` DecodeSample intra path):
+  band FSM decode + dequant (int16 wrap: DeQuantFSM decoder.c:20551)
+  w[2] inverse                      InvertSpatialQuant16s     spatial.c:21877
+  w[1] inverse with descale 2       InvertSpatialQuantDescale16s spatial.c:22414
+                                    (horizontal pass keeps the extra bit:
+                                     <<1 instead of >>1, InvertHorizontalStripDescale16s)
+  w[0] inverse fused with YUY2 out  TransformInverseSpatialYUV422ToOutput
+                                    wavelet.c:7950 + InvertHorizontalStrip16sToYUYV
+                                    InvertHorizontalStrip16s.c:3770
+                                    (interior clamps >=0 via the +2048 usub
+                                     trick, optional {0,1} dither, >>2 to 8-bit)
+
+Channel order is Y, V(Cr), U(Cb) (`convert.c:5222-5284`: channel 1 reads the
+4th byte of each YUYV quad, channel 2 the 2nd).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_I32 = np.int32
+ROUNDING = 4
+
+
+def sat16(x: np.ndarray) -> np.ndarray:
+    return np.clip(x, -32768, 32767).astype(_I32)
+
+
+def wrap16(x: np.ndarray) -> np.ndarray:
+    """C short wraparound (used by DeQuantFSM's in-table multiply)."""
+    return ((np.asarray(x, dtype=np.int64) + 32768) % 65536 - 32768).astype(_I32)
+
+
+# ---------------------------------------------------------------------------
+# Input unpack
+# ---------------------------------------------------------------------------
+
+def unpack_yuy2(raw: bytes | np.ndarray, width: int, height: int,
+                precision: int = 10) -> list[np.ndarray]:
+    """YUY2 bytes -> [Y, V, U] int32 planes shifted to `precision` bits.
+
+    Contract: `UnpackRowYUV16s` (`Codec/convert.c:4667`), default path
+    (no limit_yuv, no 601->709 conversion): plain `<< (precision-8)`.
+    """
+    arr = np.frombuffer(raw, dtype=np.uint8) if isinstance(raw, (bytes, bytearray)) else raw
+    quad = arr.reshape(height, width // 2, 4).astype(_I32)
+    shift = precision - 8
+    y = quad[:, :, [0, 2]].reshape(height, width) << shift
+    u = quad[:, :, 1] << shift
+    v = quad[:, :, 3] << shift
+    return [y, v, u]
+
+
+def pack_yuy2(y: np.ndarray, v: np.ndarray, u: np.ndarray) -> bytes:
+    """[Y, V, U] 8-bit planes -> YUY2 bytes."""
+    h, w = y.shape
+    out = np.empty((h, w // 2, 4), dtype=np.uint8)
+    out[:, :, 0] = y[:, 0::2]
+    out[:, :, 2] = y[:, 1::2]
+    out[:, :, 1] = u
+    out[:, :, 3] = v
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Forward 2-6 DWT (production variants)
+# ---------------------------------------------------------------------------
+
+def _h26_forward(x: np.ndarray, prescale: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Horizontal 2-6 forward.
+
+    prescale=0: `FilterHorizontalRow16s` (`Codec/spatial.c:253`).
+    prescale=2: `FilterHorizontalRow10bit16s` (`Codec/spatial.c:3669`) —
+      highpass taps use per-element px=(x+3)>>2; the stored lowpass is
+      (x0+x1+3)>>2.
+    """
+    x = x.astype(_I32)
+    even, odd = x[..., 0::2], x[..., 1::2]
+    if prescale:
+        r = (1 << prescale) - 1
+        pe = (even + r) >> prescale
+        po = (odd + r) >> prescale
+        low = (even + odd + r) >> prescale
+    else:
+        pe, po = even, odd
+        low = even + odd
+    plow = pe + po
+    diff = pe - po
+    high = np.empty_like(plow)
+    high[..., 1:-1] = ((-plow[..., :-2] + plow[..., 2:] + ROUNDING) >> 3) + diff[..., 1:-1]
+    high[..., 0] = (
+        5 * pe[..., 0] - 11 * po[..., 0]
+        + 4 * pe[..., 1] + 4 * po[..., 1]
+        - pe[..., 2] - po[..., 2] + ROUNDING
+    ) >> 3
+    high[..., -1] = (
+        11 * pe[..., -1] - 5 * po[..., -1]
+        - 4 * po[..., -2] - 4 * pe[..., -2]
+        + po[..., -3] + pe[..., -3] + ROUNDING
+    ) >> 3
+    return sat16(low), sat16(high)
+
+
+def v26_forward(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vertical 2-6 forward (border rows use the 6-tap filters on the first/
+    last six input rows, `Codec/spatial.c:14266-14306`)."""
+    x = x.astype(_I32)
+    even, odd = x[0::2], x[1::2]
+    low = even + odd
+    diff = even - odd
+    high = np.empty_like(low)
+    high[1:-1] = ((-low[:-2] + low[2:] + ROUNDING) >> 3) + diff[1:-1]
+    high[0] = (
+        5 * x[0] - 11 * x[1] + 4 * x[2] + 4 * x[3] - x[4] - x[5] + ROUNDING
+    ) >> 3
+    high[-1] = (
+        11 * x[-2] - 5 * x[-1] - 4 * x[-3] - 4 * x[-4] + x[-5] + x[-6] + ROUNDING
+    ) >> 3
+    return sat16(low), sat16(high)
+
+
+def quantize(v: np.ndarray, q: int, midpoint_prequant: int = 2) -> np.ndarray:
+    """Production quantizer `QuantizeRow16sTo16s` (`Codec/quantize.c:1256`)."""
+    if q <= 1:
+        return v.astype(_I32)
+    mult = (1 << 16) // q
+    mid = q // midpoint_prequant
+    if midpoint_prequant == 2 and mid:
+        mid -= 1
+    a = np.abs(v).astype(np.int64)
+    mag = (((a + mid) & 0xFFFF) * mult) >> 16
+    return (np.sign(v) * mag).astype(_I32)
+
+
+def dwt2d_forward(x: np.ndarray, prescale: int = 0,
+                  quant: tuple[int, int, int] | None = None):
+    """One 2D production DWT level: horizontal (optionally prescaled) then
+    vertical; returns (LL, (LH, HL, HH)) with optional fused quantization.
+
+    Band order matches the reference: band1 = horizontal-high/vertical-low
+    ("lowhigh"), band2 = horizontal-low/vertical-high ("highlow"), band3 = HH.
+    """
+    low, high = _h26_forward(x, prescale)
+    ll, hl = v26_forward(low)
+    lh, hh = v26_forward(high)
+    if quant is not None:
+        lh = quantize(lh, quant[0])
+        hl = quantize(hl, quant[1])
+        hh = quantize(hh, quant[2])
+    return ll, (lh, hl, hh)
+
+
+# ---------------------------------------------------------------------------
+# Inverse 2-6 DWT (production variants)
+# ---------------------------------------------------------------------------
+
+def v26_inverse(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """Vertical 2-6 inverse, standard descale (>>1), int32 math + sat16.
+
+    Contract: `InvertSpatialQuantDescale16s` vertical section
+    (`Codec/spatial.c:22492-22540`) == demo math.
+    """
+    low, high = low.astype(_I32), high.astype(_I32)
+    half = low.shape[0]
+    even = np.empty_like(low)
+    odd = np.empty_like(low)
+    te = (low[:-2] - low[2:] + ROUNDING) >> 3
+    to = (-low[:-2] + low[2:] + ROUNDING) >> 3
+    even[1:-1] = (te + low[1:-1] + high[1:-1]) >> 1
+    odd[1:-1] = (to + low[1:-1] - high[1:-1]) >> 1
+    t0e = (11 * low[0] - 4 * low[1] + low[2] + ROUNDING) >> 3
+    t0o = (5 * low[0] + 4 * low[1] - low[2] + ROUNDING) >> 3
+    even[0] = (t0e + high[0]) >> 1
+    odd[0] = (t0o - high[0]) >> 1
+    tke = (5 * low[-1] + 4 * low[-2] - low[-3] + ROUNDING) >> 3
+    tko = (11 * low[-1] - 4 * low[-2] + low[-3] + ROUNDING) >> 3
+    even[-1] = (tke + high[-1]) >> 1
+    odd[-1] = (tko - high[-1]) >> 1
+    out = np.empty((half * 2,) + low.shape[1:], dtype=_I32)
+    out[0::2] = sat16(even)
+    out[1::2] = sat16(odd)
+    return out
+
+
+def h26_inverse(low: np.ndarray, high: np.ndarray, descale: int = 1) -> np.ndarray:
+    """Horizontal 2-6 inverse.
+
+    descale=1: standard >>1 (`InvertHorizontalStrip16s`).
+    descale=2: `InvertHorizontalStripDescale16s`
+      (`Codec/InvertHorizontalStrip16s.c:1374`): no >>1, result <<1 — the
+      net x4 undoes the encoder's prescale-2.
+    """
+    low, high = low.astype(_I32), high.astype(_I32)
+    te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
+    even_i = te + low[..., 1:-1] + high[..., 1:-1]
+    odd_i = to + low[..., 1:-1] - high[..., 1:-1]
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
+    even_f = t0e + high[..., 0]
+    odd_f = t0o - high[..., 0]
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
+    even_l = tke + high[..., -1]
+    odd_l = tko - high[..., -1]
+    even = np.concatenate([even_f[..., None], even_i, even_l[..., None]], -1)
+    odd = np.concatenate([odd_f[..., None], odd_i, odd_l[..., None]], -1)
+    if descale == 2:
+        even <<= 1
+        odd <<= 1
+    else:
+        even >>= 1
+        odd >>= 1
+    h, half = low.shape
+    out = np.empty((h, half * 2), dtype=_I32)
+    out[:, 0::2] = sat16(even)
+    out[:, 1::2] = sat16(odd)
+    return out
+
+
+def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1) -> np.ndarray:
+    """One 2D production inverse level: vertical then horizontal."""
+    low = v26_inverse(ll, hl)
+    high = v26_inverse(lh, hh)
+    return h26_inverse(low, high, descale)
+
+
+def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
+                          descale_shift: int = 2,
+                          dither: np.ndarray | None = None) -> np.ndarray:
+    """Final horizontal inverse fused with conversion to 8-bit output.
+
+    Contract: `InvertHorizontalStrip16sToYUYV`
+    (`Codec/InvertHorizontalStrip16s.c:3770`):
+      border pairs:  ((6tap+4)>>3 ± high) >> 1, arithmetic >>descale_shift;
+      interior:      ((l[k-1]-l[k+1]+4)>>3 + l[k] ± h[k]), clamped to >= 0
+                     (the +2048 adds/subs_epu16 trick), >> 1, plus optional
+                     {0,1} dither, logical >> descale_shift;
+      final pack saturates to [0, 255].
+    """
+    low, high = low.astype(_I32), high.astype(_I32)
+    te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
+    even_i = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0) >> 1
+    odd_i = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0) >> 1
+    if dither is not None:
+        even_i = even_i + dither[..., 0::2][..., 1:-1]
+        odd_i = odd_i + dither[..., 1::2][..., 1:-1]
+    even_i >>= descale_shift
+    odd_i >>= descale_shift
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
+    even_f = ((t0e + high[..., 0]) >> 1) >> descale_shift
+    odd_f = ((t0o - high[..., 0]) >> 1) >> descale_shift
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
+    even_l = ((tke + high[..., -1]) >> 1) >> descale_shift
+    odd_l = ((tko - high[..., -1]) >> 1) >> descale_shift
+    even = np.concatenate([even_f[..., None], even_i, even_l[..., None]], -1)
+    odd = np.concatenate([odd_f[..., None], odd_i, odd_l[..., None]], -1)
+    h, half = low.shape
+    out = np.empty((h, half * 2), dtype=_I32)
+    out[:, 0::2] = even
+    out[:, 1::2] = odd
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Channel-level forward/inverse transforms
+# ---------------------------------------------------------------------------
+
+def forward_channel(plane: np.ndarray, band_quant, prescale):
+    """3-level intra forward for one channel.
+
+    Returns (lowpass int32 (h/8, w/8), bands) where bands[k] = (LH, HL, HH)
+    quantized coefficients of wavelet k (0 = finest).
+    """
+    ll = plane
+    bands = []
+    for k in range(3):
+        ll, highs = dwt2d_forward(ll, prescale[k], band_quant[k])
+        bands.append(highs)
+    return ll, bands
+
+
+def inverse_channel_to_16s(lowpass: np.ndarray, bands, prescale) -> np.ndarray:
+    """Inverse through w[2] and w[1]; returns the reconstructed w[0] lowpass
+    input (still needs the final level + output conversion)."""
+    ll = lowpass
+    for k in (2, 1):
+        lh, hl, hh = bands[k]
+        descale = 2 if prescale[k] == 2 else 1
+        ll = dwt2d_inverse(ll, lh, hl, hh, descale)
+    return ll
+
+
+def inverse_channel_to_8bit(lowpass, bands, prescale, descale_shift=2,
+                            dither=None):
+    """Full inverse for one channel producing the 8-bit output plane."""
+    ll = inverse_channel_to_16s(lowpass, bands, prescale)
+    lh, hl, hh = bands[0]
+    low = v26_inverse(ll, hl)
+    high = v26_inverse(lh, hh)
+    return h26_inverse_to_output(low, high, descale_shift, dither)
+
+
+def dequant_band(codes: np.ndarray, q: int, flags: int = 4) -> np.ndarray:
+    """FSM dequantization: companding expansion then int16-wrapping multiply
+    (`ScaleFSM` codebooks.c:1345 + `DeQuantFSM` decoder.c:20551)."""
+    from cineform_tpu.spec import codebooks as cb
+
+    c = codes.astype(np.int64)
+    mag = np.abs(c)
+    expand = np.array([cb.expand_code(m, flags) for m in range(int(mag.max()) + 1)],
+                      dtype=np.int64)
+    return wrap16(np.sign(c) * expand[mag] * q)
