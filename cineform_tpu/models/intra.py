@@ -1,0 +1,150 @@
+"""TPU CFHD intra codec: batched JAX transform + host entropy/bitstream.
+
+Pipeline split (the TPU-native re-expression of `Codec/encoder.c:1897`):
+- device (XLA, batched over frames): YUY2 unpack -> 3-level production DWT
+  with fused quantization -> coefficient planes in HBM. One traced program
+  per (resolution, quality); all shapes static.
+- host: zero-run/Huffman entropy coding + CFHD tag/value sample assembly
+  (models/intra_host.py machinery), byte-exact vs the reference encoder.
+
+Decode mirrors it: host entropy decode -> device batched inverse DWT fused
+with the 8-bit output conversion.
+
+The reference's frame/channel/strip thread parallelism (`SURVEY.md` §2.4)
+maps to the batch dimension here: many frames per XLA program, sharded over
+chips with `jax.sharding` for scale-out (see parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cineform_tpu.models import intra_host
+from cineform_tpu.ops import intra_transform as ops
+from cineform_tpu.spec.production import IntraParams, intra_prescale
+
+
+@dataclass(frozen=True)
+class IntraCodec:
+    """A compiled intra codec for one (width, height, quality) config."""
+
+    width: int
+    height: int
+    quality: int
+
+    @property
+    def params(self) -> IntraParams:
+        return IntraParams(width=self.width, height=self.height,
+                           quality=self.quality)
+
+    # --- device programs ---------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def forward(self, frames: jnp.ndarray):
+        """(B, H, 2W) uint8 YUY2 -> per-channel (lowpass, bands) pytree.
+
+        Everything here is traced once per config and fused by XLA.
+        """
+        p = self.params
+        y, v, u = ops.unpack_yuy2(frames, p.precision)
+        prescale = p.prescale
+        out = []
+        for ch, plane in enumerate((y, v, u)):
+            quants = p.band_quant(ch)
+            lowpass, bands = ops.forward_channel(plane, quants, prescale)
+            out.append((lowpass, bands))
+        return out
+
+    @partial(jax.jit, static_argnums=0)
+    def dequantize(self, coeffs):
+        """Dequantize the quantized coefficient pytree (device side),
+        mirroring what the entropy decoder folds into its tables."""
+        from cineform_tpu.spec import codebooks as cb
+
+        # compose encoder companding with decoder expansion:
+        # quantized magnitude -> 8-bit code -> reconstructed magnitude
+        ct = cb.cubic_compand_table()
+        expand = jnp.asarray(np.array(
+            [cb.cubic_expand(int(ct[m])) for m in range(1025)], np.int32))
+        p = self.params
+        out = []
+        for ch, (lowpass, bands) in enumerate(coeffs):
+            quants = p.band_quant(ch)
+            dq = [tuple(ops.dequantize(jnp.clip(b, -1023, 1023), quants[k][i], expand)
+                        for i, b in enumerate(bs))
+                  for k, bs in enumerate(bands)]
+            out.append((lowpass, dq))
+        return out
+
+    @partial(jax.jit, static_argnums=0)
+    def inverse(self, coeffs):
+        """Per-channel (lowpass, bands) -> (B, H, 2W) uint8 YUY2 frames."""
+        p = self.params
+        prescale = p.prescale
+        planes = [ops.inverse_channel_to_8bit(lowpass, bands, prescale)
+                  for lowpass, bands in coeffs]
+        return ops.pack_yuy2(*planes)
+
+    # --- full encode/decode (device transform + host entropy) ----------------
+
+    def encode_batch(self, frames: np.ndarray,
+                     first_frame_number: int = 1,
+                     metadata: intra_host.EncoderMetadata | None = None
+                     ) -> list[bytes]:
+        """Encode (B, H, 2W) uint8 YUY2 frames to CFHD samples."""
+        coeffs = jax.device_get(self.forward(jnp.asarray(frames)))
+        p = self.params
+        samples = []
+        batch = frames.shape[0]
+        for i in range(batch):
+            channels = []
+            for ch, (lowpass, bands) in enumerate(coeffs):
+                channels.append(intra_host.EncodedChannel(
+                    lowpass=np.asarray(lowpass[i]),
+                    bands=[tuple(np.asarray(b[i]) for b in bs) for bs in bands],
+                    quants=p.band_quant(ch),
+                ))
+            samples.append(intra_host.write_sample(
+                channels, p, first_frame_number + i, metadata))
+        return samples
+
+    def decode_batch(self, samples: list[bytes]) -> np.ndarray:
+        """Decode CFHD samples to (B, H, 2W) uint8 YUY2 frames."""
+        from cineform_tpu.bitstream import parse_sample
+        from cineform_tpu.entropy import native as entropy_native
+
+        per_frame = []
+        for sample in samples:
+            s = parse_sample(sample)
+            chans = []
+            for c in s.channels:
+                bands: list[dict] = [dict() for _ in range(3)]
+                for b in c.bands:
+                    widx = 2 - (b.subband - 1) // 3
+                    pitchw = intra_host.align16_pixels(b.width)
+                    vals, _ = entropy_native.decode_band(
+                        b.data, pitchw * b.height, codeset=17,
+                        quant=b.quantization)
+                    bands[widx][b.band] = vals.reshape(
+                        b.height, pitchw)[:, :b.width]
+                chans.append((c.lowpass,
+                              [(bands[k][1], bands[k][2], bands[k][3])
+                               for k in range(3)]))
+            per_frame.append(chans)
+
+        # Stack into batched arrays per channel
+        coeffs = []
+        for ch in range(3):
+            lowpass = jnp.asarray(np.stack([f[ch][0] for f in per_frame]))
+            bands = []
+            for k in range(3):
+                bands.append(tuple(
+                    jnp.asarray(np.stack([f[ch][1][k][b] for f in per_frame]))
+                    for b in range(3)))
+            coeffs.append((lowpass, bands))
+        return np.asarray(jax.device_get(self.inverse(coeffs)))

@@ -80,13 +80,18 @@ def transform_channel(plane: np.ndarray, params: IntraParams,
     return EncodedChannel(lowpass=lowpass, bands=bands, quants=quants)
 
 
-def encode_band_payload(values: np.ndarray, quant_unused: int) -> tuple:
-    """Zero-pad rows to the band pitch and entropy-encode (codeset 17)."""
+def encode_band_payload(values: np.ndarray) -> bytes:
+    """Zero-pad rows to the band pitch and entropy-encode (codeset 17).
+
+    Uses the native (C++) coder; entropy/host.py is the pure-Python
+    reference it is validated against."""
+    from cineform_tpu.entropy import native as entropy_native
+
     h, w = values.shape
     pitchw = align16_pixels(w)
     padded = np.zeros((h, pitchw), dtype=np.int32)
     padded[:, :w] = values
-    return entropy.encode_band(padded, codeset=17)
+    return entropy_native.encode_band_bytes(padded, codeset=17)
 
 
 def write_sample(channels: list[EncodedChannel], params: IntraParams,
@@ -198,8 +203,7 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
                 w.put_tag(tags.BAND_SCALE, scales[k][b + 1])
                 w.push_chunk(tags.SUBBAND_SIZE)
                 w.put_tag(tags.BAND_HEADER, 0)
-                bits, sizes = encode_band_payload(bands[b], quants[b])
-                w.put_bytes(entropy.pack_msb_first(bits, sizes, align=8))
+                w.put_bytes(encode_band_payload(bands[b]))
                 w.pad_to_tag()
                 w.put_tag(tags.BAND_TRAILER, 0)
                 w.pop_chunk()
@@ -228,6 +232,8 @@ def encode_sample(frame_yuy2: bytes, width: int, height: int, quality: int,
 
 def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:
     """Decode a CFHD intra sample to YUY2 bytes. Returns (yuy2, parsed)."""
+    from cineform_tpu.entropy import native as entropy_native
+
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     planes = []
@@ -236,11 +242,9 @@ def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:
         for b in c.bands:
             widx = 2 - (b.subband - 1) // 3
             pitchw = align16_pixels(b.width)
-            vals, _ = entropy.decode_band(b.data, pitchw * b.height,
-                                          codeset=17, quant=1)
-            vals = vals.reshape(b.height, pitchw)[:, :b.width]
-            bands[widx][b.band] = xf.wrap16(
-                vals.astype(np.int64) * b.quantization)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
         planes.append(xf.inverse_channel_to_8bit(c.lowpass, wb, prescale))
     return xf.pack_yuy2(*planes), s

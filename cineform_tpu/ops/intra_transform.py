@@ -110,6 +110,14 @@ def quantize(v: jnp.ndarray, q: int, midpoint_prequant: int = 2) -> jnp.ndarray:
     return jnp.sign(v) * mag
 
 
+def dequantize(codes: jnp.ndarray, q: int, expand_table: jnp.ndarray) -> jnp.ndarray:
+    """FSM dequantization on device: companding expansion (table lookup)
+    then int16-wrapping multiply (`ScaleFSM` + `DeQuantFSM`)."""
+    mag = jnp.take(expand_table, jnp.abs(codes).astype(jnp.int32), axis=0)
+    v = jnp.sign(codes) * mag * q
+    return ((v + 32768) & 0xFFFF) - 32768
+
+
 def dwt2d_forward(x: jnp.ndarray, prescale: int = 0,
                   quant: tuple[int, int, int] | None = None):
     """One production 2D level; returns (LL, (LH, HL, HH))."""

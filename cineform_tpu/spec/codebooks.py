@@ -221,3 +221,28 @@ def build_runbook(number: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         counts[i] = i - remaining
         bits[i] = codeword
     return sizes, counts, bits
+
+
+@lru_cache(maxsize=None)
+def build_runchains(number: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flattened greedy code chains for every run length < RUNBOOK_LENGTH.
+
+    A composite runbook entry may cover fewer zeros than the run length
+    (31-bit codeword limit, `Codec/codebooks.c:544-557`), so a run emits a
+    chain of entries (`Codec/vlc.c:366` PutZeroRun loop).  Returns
+    (chain_bits, chain_sizes, offsets) with the chain for run length r at
+    [offsets[r], offsets[r+1]).
+    """
+    rb_size, rb_count, rb_bits = build_runbook(number)
+    bits_l: list[int] = []
+    sizes_l: list[int] = []
+    offs = np.zeros(RUNBOOK_LENGTH + 1, dtype=np.int64)
+    for r in range(RUNBOOK_LENGTH):
+        c = r
+        while c > 0:
+            bits_l.append(int(rb_bits[c]))
+            sizes_l.append(int(rb_size[c]))
+            c -= int(rb_count[c])
+        offs[r + 1] = len(bits_l)
+    return (np.array(bits_l, dtype=np.uint64),
+            np.array(sizes_l, dtype=np.int64), offs)

@@ -3,16 +3,23 @@
 Real-chip benchmarks go through bench.py; tests validate numerics and
 sharding on host CPU so they run anywhere (the driver validates the
 multi-chip path separately via __graft_entry__.dryrun_multichip).
+
+Note: a sitecustomize in this image pins JAX_PLATFORMS=axon, so the env
+var alone is not enough — force the platform through jax.config before
+the backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REFERENCE_ROOT = "/root/reference"
 TESTPATT = os.path.join(REFERENCE_ROOT, "data", "testpatt.pgm")

@@ -1,0 +1,62 @@
+"""JAX production pipeline vs the NumPy oracle and golden samples.
+
+The JAX transform must be bit-exact vs ref/intra.py (itself byte-exact vs
+the reference SDK), so the full JAX encode path must also reproduce the
+golden reference samples byte-for-byte.
+"""
+
+import numpy as np
+import pytest
+
+from cineform_tpu.models import intra_host
+from cineform_tpu.models.intra import IntraCodec
+from cineform_tpu.utils.testframes import yuy2_frame
+
+from tests.test_intra_host import CONFIGS, _golden, _metadata_from
+
+
+@pytest.mark.parametrize("name,w,h,q,p", CONFIGS[:2])
+def test_jax_encode_byte_exact_vs_reference(name, w, h, q, p):
+    gold = _golden(name, "cfhd")
+    meta = _metadata_from(gold)
+    codec = IntraCodec(width=w, height=h, quality=q)
+    frames = np.frombuffer(yuy2_frame(w, h, p), dtype=np.uint8).reshape(1, h, 2 * w)
+    samples = codec.encode_batch(frames, first_frame_number=1, metadata=meta)
+    assert samples[0] == gold
+
+
+def test_jax_batch_encode_matches_host():
+    w, h, q = 160, 120, 4
+    codec = IntraCodec(width=w, height=h, quality=q)
+    frames = np.stack([
+        np.frombuffer(yuy2_frame(w, h, p), dtype=np.uint8).reshape(h, 2 * w)
+        for p in (0, 1, 2, 3)
+    ])
+    samples = codec.encode_batch(frames)
+    for i, p in enumerate((0, 1, 2, 3)):
+        host = intra_host.encode_sample(yuy2_frame(w, h, p), w, h, q,
+                                        frame_number=1 + i)
+        assert samples[i] == host
+
+
+def test_jax_decode_matches_host():
+    w, h, q = 320, 240, 4
+    codec = IntraCodec(width=w, height=h, quality=q)
+    raws = [yuy2_frame(w, h, p) for p in (1, 2)]
+    samples = [intra_host.encode_sample(r, w, h, q) for r in raws]
+    decoded = codec.decode_batch(samples)
+    for i, sample in enumerate(samples):
+        host_out, _ = intra_host.decode_sample(sample)
+        assert decoded[i].tobytes() == host_out
+
+
+def test_jax_roundtrip_psnr():
+    w, h, q = 320, 240, 4
+    codec = IntraCodec(width=w, height=h, quality=q)
+    raw = yuy2_frame(w, h, 1)
+    frames = np.frombuffer(raw, dtype=np.uint8).reshape(1, h, 2 * w)
+    decoded = codec.decode_batch(codec.encode_batch(frames))
+    a = frames.astype(np.float64)
+    b = decoded.astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / np.mean((a - b) ** 2))
+    assert psnr > 40.0, psnr
