@@ -1,0 +1,309 @@
+"""Public CFHD-shaped API: the framework's equivalent of CFHDEncoder.h /
+CFHDDecoder.h (`Common/CFHDEncoder.h:254-428`, `Common/CFHDDecoder.h:201-309`).
+
+The surface mirrors the reference's ~40 `CFHD_*` entry points as two small
+classes plus module-level aliases, so a reference user can map calls 1:1:
+
+    CFHD_OpenEncoder / CFHD_PrepareToEncode / CFHD_EncodeSample /
+    CFHD_GetSampleData / CFHD_CloseEncoder            -> Encoder
+    CFHD_OpenDecoder / CFHD_GetOutputFormats /
+    CFHD_PrepareToDecode / CFHD_DecodeSample / ...    -> Decoder
+    CFHD_CreateEncoderPool / CFHD_EncodeAsyncSample /
+    CFHD_WaitForSample / ...                          -> pool.EncoderPool
+
+Errors raise CFHDError carrying the CFHD_ERROR_* code instead of returning
+status ints (`Common/CFHDError.h:25-82`).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def _fourcc(s: str) -> int:
+    b = s.encode()
+    return (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+
+
+class ErrorCode(enum.IntEnum):
+    """CFHD_Error values (`Common/CFHDError.h:25-82`)."""
+
+    OKAY = 0
+    INVALID_ARGUMENT = 1
+    OUTOFMEMORY = 2
+    BADFORMAT = 3
+    BADSCALING = 4
+    BADSAMPLE = 5
+    INTERNAL = 6
+    METADATA_CLASS = 7
+    METADATA_UNDEFINED = 8
+    METADATA_END = 9
+    UNEXPECTED = 10
+    BAD_RESOLUTION = 11
+    BAD_PIXEL_SIZE = 12
+    NOT_FINISHED = 13
+    ENCODING_NOT_STARTED = 14
+    METADATA_ATTACHED = 15
+    BAD_METADATA = 16
+    THREAD_CREATE_FAILED = 17
+    THREAD_WAIT_FAILED = 18
+    UNKNOWN_TAG = 19
+    LICENSING = 20
+    CODEC_ERROR = 2048
+
+
+class CFHDError(Exception):
+    def __init__(self, code: ErrorCode, message: str = "") -> None:
+        super().__init__(f"{code.name}: {message}" if message else code.name)
+        self.code = code
+
+
+class PixelFormat(enum.IntEnum):
+    """CFHD_PixelFormat FOURCCs (`Common/CFHDTypes.h:112-178`)."""
+
+    YUY2 = _fourcc("YUY2")
+    UYVY = _fourcc("2vuy")
+    BGRA = _fourcc("BGRA")
+    RG24 = _fourcc("RG24")
+    RG48 = _fourcc("RG48")
+    B64A = _fourcc("b64a")
+    V210 = _fourcc("v210")
+    YU64 = _fourcc("YU64")
+    BYR4 = _fourcc("BYR4")
+    BYR5 = _fourcc("BYR5")
+    DPX0 = _fourcc("DPX0")
+    R210 = _fourcc("r210")
+
+
+class EncodedFormat(enum.IntEnum):
+    """CFHD_EncodedFormat (`Common/CFHDTypes.h:231-240`)."""
+
+    YUV_422 = 0
+    RGB_444 = 1
+    RGBA_4444 = 2
+    BAYER = 3
+
+
+class EncodingQuality(enum.IntEnum):
+    """CFHD_EncodingQuality (`Common/CFHDTypes.h:200-221`)."""
+
+    FIXED = 0
+    LOW = 1
+    MEDIUM = 2
+    HIGH = 3
+    FILMSCAN1 = 4
+    FILMSCAN2 = 5
+    FILMSCAN3 = 6
+    DEFAULT = 4
+
+
+class DecodedResolution(enum.IntEnum):
+    """CFHD_DecodedResolution (`Common/CFHDTypes.h:451-470`)."""
+
+    FULL = 1
+    HALF = 2
+    QUARTER = 3
+    THUMBNAIL = 4
+
+
+class EncodingFlags(enum.IntFlag):
+    NONE = 0
+    YUV_2FRAME_GOP = 1 << 4      # CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP
+
+
+class DecodingFlags(enum.IntFlag):
+    NONE = 0
+
+
+@dataclass
+class SampleInfo:
+    """CFHD_GetSampleInfo results (`DecoderSDK/CFHDDecoder.cpp`)."""
+
+    width: int
+    height: int
+    display_height: int
+    key_frame: bool
+    encoded_format: EncodedFormat
+    quality: int
+    frame_number: int
+
+
+# ---------------------------------------------------------------------------
+# Encoder (CFHD_OpenEncoder .. CFHD_CloseEncoder)
+# ---------------------------------------------------------------------------
+
+class Encoder:
+    """Synchronous sample encoder (`EncoderSDK/SampleEncoder.cpp:115-620`)."""
+
+    INPUT_FORMATS = (PixelFormat.YUY2,)
+
+    def __init__(self) -> None:
+        self._prepared = False
+        self._sample: bytes | None = None
+        self._frame_number = 0
+        self._metadata = None
+
+    # CFHD_GetInputFormats
+    def get_input_formats(self) -> tuple[PixelFormat, ...]:
+        return self.INPUT_FORMATS
+
+    # CFHD_PrepareToEncode
+    def prepare_to_encode(self, width: int, height: int,
+                          pixel_format: PixelFormat,
+                          encoded_format: EncodedFormat = EncodedFormat.YUV_422,
+                          encoding_flags: EncodingFlags = EncodingFlags.NONE,
+                          quality: EncodingQuality = EncodingQuality.FILMSCAN1,
+                          ) -> None:
+        if pixel_format not in self.INPUT_FORMATS:
+            raise CFHDError(ErrorCode.BADFORMAT, f"{pixel_format!r}")
+        if encoded_format != EncodedFormat.YUV_422:
+            raise CFHDError(ErrorCode.BADFORMAT, f"{encoded_format!r}")
+        if width % 16 or height % 8 or width < 32 or height < 48:
+            # dims must survive 3 halvings with filter-legal extents
+            raise CFHDError(ErrorCode.INVALID_ARGUMENT,
+                            f"unsupported dimensions {width}x{height}")
+        self.width = width
+        self.height = height
+        self.pixel_format = pixel_format
+        self.encoded_format = encoded_format
+        self.quality = EncodingQuality(int(quality) & 0xFF)
+        self._prepared = True
+
+    # CFHD_MetadataAttach
+    def attach_metadata(self, metadata) -> None:
+        self._metadata = metadata
+
+    # CFHD_EncodeSample
+    def encode_sample(self, frame: bytes | np.ndarray, pitch: int | None = None) -> None:
+        from cineform_tpu.models import intra_host
+
+        if not self._prepared:
+            raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
+        buf = np.frombuffer(frame, dtype=np.uint8) if isinstance(frame, (bytes, bytearray)) else frame
+        row_bytes = 2 * self.width
+        if pitch is not None and pitch != row_bytes:
+            buf = buf.reshape(-1, pitch)[:self.height, :row_bytes]
+        buf = np.ascontiguousarray(buf).reshape(-1)
+        if buf.size != self.height * row_bytes:
+            raise CFHDError(ErrorCode.INVALID_ARGUMENT, "bad frame size")
+        self._frame_number += 1
+        self._sample = intra_host.encode_sample(
+            buf.tobytes(), self.width, self.height, int(self.quality),
+            frame_number=self._frame_number, metadata=self._metadata)
+
+    # CFHD_GetSampleData
+    def get_sample_data(self) -> bytes:
+        if self._sample is None:
+            raise CFHDError(ErrorCode.NOT_FINISHED)
+        return self._sample
+
+    # CFHD_GetEncodeThumbnail
+    def get_encode_thumbnail(self, sample: bytes):
+        from cineform_tpu.models import thumbnail
+
+        return thumbnail.extract(sample)
+
+    # CFHD_CloseEncoder
+    def close(self) -> None:
+        self._prepared = False
+        self._sample = None
+
+
+# ---------------------------------------------------------------------------
+# Decoder (CFHD_OpenDecoder .. CFHD_CloseDecoder)
+# ---------------------------------------------------------------------------
+
+class Decoder:
+    """Sample decoder (`DecoderSDK/SampleDecoder.cpp:387-1936`)."""
+
+    OUTPUT_FORMATS = (PixelFormat.YUY2,)
+
+    def __init__(self) -> None:
+        self._prepared = False
+
+    # CFHD_GetOutputFormats
+    def get_output_formats(self, sample: bytes | None = None) -> tuple[PixelFormat, ...]:
+        return self.OUTPUT_FORMATS
+
+    # CFHD_GetSampleInfo / CFHD_ParseSampleHeader
+    def get_sample_info(self, sample: bytes) -> SampleInfo:
+        from cineform_tpu.bitstream import parse_sample
+        from cineform_tpu.spec import tags
+
+        try:
+            s = parse_sample(sample)
+        except Exception as exc:
+            raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+        return SampleInfo(
+            width=s.width, height=s.height,
+            display_height=s.display_height or s.height,
+            key_frame=(s.sample_type == tags.SAMPLE_TYPE_IFRAME),
+            encoded_format=EncodedFormat(max(0, s.encoded_format - 1)),
+            quality=s.quality, frame_number=s.frame_number)
+
+    # CFHD_PrepareToDecode
+    def prepare_to_decode(self, width: int, height: int,
+                          output_format: PixelFormat = PixelFormat.YUY2,
+                          resolution: DecodedResolution = DecodedResolution.FULL,
+                          decoding_flags: DecodingFlags = DecodingFlags.NONE,
+                          sample: bytes | None = None,
+                          ) -> tuple[int, int, PixelFormat]:
+        if output_format not in self.OUTPUT_FORMATS:
+            raise CFHDError(ErrorCode.BADFORMAT, f"{output_format!r}")
+        if sample is not None:
+            info = self.get_sample_info(sample)
+            width, height = info.width, info.height
+        if resolution == DecodedResolution.HALF:
+            width, height = width // 2, height // 2
+        elif resolution == DecodedResolution.QUARTER:
+            width, height = width // 4, height // 4
+        elif resolution == DecodedResolution.THUMBNAIL:
+            width, height = width // 8, height // 8
+        self.width = width
+        self.height = height
+        self.output_format = output_format
+        self.resolution = resolution
+        self._prepared = True
+        return width, height, output_format
+
+    # CFHD_DecodeSample
+    def decode_sample(self, sample: bytes) -> np.ndarray:
+        from cineform_tpu.models import intra_host
+
+        if not self._prepared:
+            raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
+        try:
+            if self.resolution == DecodedResolution.FULL:
+                out, _ = intra_host.decode_sample(sample)
+            else:
+                out = intra_host.decode_sample_scaled(
+                    sample, int(self.resolution))
+        except CFHDError:
+            raise
+        except Exception as exc:
+            raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+        return np.frombuffer(out, dtype=np.uint8).reshape(
+            self.height, 2 * self.width)
+
+    # CFHD_CloseDecoder
+    def close(self) -> None:
+        self._prepared = False
+
+
+# --- C-style aliases (1:1 with the reference entry points) -------------------
+
+def CFHD_OpenEncoder() -> Encoder:
+    return Encoder()
+
+
+def CFHD_OpenDecoder() -> Decoder:
+    return Decoder()
+
+
+def CFHD_CreateEncoderPool(thread_count: int, queue_length: int):
+    from cineform_tpu.pool import EncoderPool
+
+    return EncoderPool(thread_count, queue_length)

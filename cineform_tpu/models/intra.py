@@ -64,18 +64,11 @@ class IntraCodec:
     def dequantize(self, coeffs):
         """Dequantize the quantized coefficient pytree (device side),
         mirroring what the entropy decoder folds into its tables."""
-        from cineform_tpu.spec import codebooks as cb
-
-        # compose encoder companding with decoder expansion:
-        # quantized magnitude -> 8-bit code -> reconstructed magnitude
-        ct = cb.cubic_compand_table()
-        expand = jnp.asarray(np.array(
-            [cb.cubic_expand(int(ct[m])) for m in range(1025)], np.int32))
         p = self.params
         out = []
         for ch, (lowpass, bands) in enumerate(coeffs):
             quants = p.band_quant(ch)
-            dq = [tuple(ops.dequantize(jnp.clip(b, -1023, 1023), quants[k][i], expand)
+            dq = [tuple(ops.dequantize(b, quants[k][i])
                         for i, b in enumerate(bs))
                   for k, bs in enumerate(bands)]
             out.append((lowpass, dq))

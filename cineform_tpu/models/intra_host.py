@@ -248,3 +248,40 @@ def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
         planes.append(xf.inverse_channel_to_8bit(c.lowpass, wb, prescale))
     return xf.pack_yuy2(*planes), s
+
+
+def decode_sample_scaled(sample: bytes, resolution: int) -> bytes:
+    """Resolution-scalable decode: stop the wavelet inverse early.
+
+    resolution: 2=half, 3=quarter, 4=thumbnail (CFHD_DECODED_RESOLUTION_*,
+    `Common/CFHDTypes.h:451-470`; reference `ReconstructQuarterFrame`
+    `Codec/decoder.c:16565`).  The partially reconstructed lowpass carries a
+    known gain over the 10-bit pixels — x16 at the deepest level, x4 after
+    one or two inverse levels (the prescale-2 middle level keeps the extra
+    bits) — so the 8-bit output descale shifts are 6/4/4.
+    """
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    levels = {4: 0, 3: 1, 2: 2}[resolution]
+    planes = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            if widx < 3 - levels:
+                continue  # deeper resolution truncation skips this band
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        ll = c.lowpass
+        shift = 6 if levels == 0 else 4
+        for k in range(2, 2 - levels, -1):
+            lh, hl, hh = bands[k][1], bands[k][2], bands[k][3]
+            descale = 2 if prescale[k] == 2 else 1
+            ll = xf.dwt2d_inverse(ll, lh, hl, hh, descale)
+        plane = np.clip((ll + (1 << (shift - 1))) >> shift, 0, 255)
+        planes.append(plane.astype(np.uint8))
+    return xf.pack_yuy2(*planes)

@@ -110,10 +110,32 @@ def quantize(v: jnp.ndarray, q: int, midpoint_prequant: int = 2) -> jnp.ndarray:
     return jnp.sign(v) * mag
 
 
-def dequantize(codes: jnp.ndarray, q: int, expand_table: jnp.ndarray) -> jnp.ndarray:
-    """FSM dequantization on device: companding expansion (table lookup)
-    then int16-wrapping multiply (`ScaleFSM` + `DeQuantFSM`)."""
-    mag = jnp.take(expand_table, jnp.abs(codes).astype(jnp.int32), axis=0)
+def _compand_mag(c: jnp.ndarray) -> jnp.ndarray:
+    """Cubic companded magnitude: c + (c^3*768)>>24, rewritten shift-exact
+    as (c^3*3)>>16 so it stays in int32 (`Codec/codebooks.c:1048`)."""
+    return c + ((c * c * c * 3) >> 16)
+
+
+def requantize_magnitude(m: jnp.ndarray) -> jnp.ndarray:
+    """Quantized magnitude -> reconstructed magnitude after the encoder's
+    cubic companding and the decoder's expansion (ScaleFSM), i.e.
+    mag(max{code : mag(code) <= m}).
+
+    Implemented as a branchless 8-bit binary search over the monotone
+    companding curve — pure VPU arithmetic, no gathers (TPU gathers cost
+    ~30 ms/frame for these plane sizes)."""
+    c = jnp.zeros_like(m)
+    for bit in (128, 64, 32, 16, 8, 4, 2, 1):
+        t = c | bit
+        c = jnp.where(_compand_mag(t) <= m, t, c)
+    return _compand_mag(c)
+
+
+def dequantize(codes: jnp.ndarray, q: int) -> jnp.ndarray:
+    """FSM dequantization on device: clamp, compand+expand (arithmetic),
+    then int16-wrapping multiply (`ScaleFSM` + `DeQuantFSM`,
+    `Codec/decoder.c:20551`)."""
+    mag = requantize_magnitude(jnp.abs(jnp.clip(codes, -1023, 1023)))
     v = jnp.sign(codes) * mag * q
     return ((v + 32768) & 0xFFFF) - 32768
 

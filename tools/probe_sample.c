@@ -84,6 +84,66 @@ static int do_encode(int w, int h, int quality, int pattern, const char *path)
     return 0;
 }
 
+static int do_thumbnail(const char *inpath, const char *outpath)
+{
+    FILE *f = fopen(inpath, "rb");
+    if (!f) { fprintf(stderr, "no input\n"); return 1; }
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    uint8_t *sample = (uint8_t *)malloc((size_t)size);
+    if (fread(sample, 1, (size_t)size, f) != (size_t)size) return 1;
+    fclose(f);
+
+    CFHD_DecoderRef dec = NULL;
+    if (CFHD_OpenDecoder(&dec, NULL)) return 1;
+    size_t w = 0, h = 0, outsize = 0;
+    size_t cap = (size_t)size * 4 + (1 << 20);
+    uint8_t *out = (uint8_t *)malloc(cap);
+    CFHD_Error err = CFHD_GetThumbnail(dec, sample, (size_t)size,
+                                       out, cap, 1 /* THUMBNAIL_FLAGS_ENABLE */,
+                                       &w, &h, &outsize);
+    if (err) { fprintf(stderr, "thumbnail %d\n", err); return 1; }
+    FILE *g = fopen(outpath, "wb");
+    fwrite(out, 1, outsize, g);
+    fclose(g);
+    fprintf(stderr, "thumbnail %zux%zu %zu bytes\n", w, h, outsize);
+    CFHD_CloseDecoder(dec);
+    return 0;
+}
+
+static int do_decode_res(const char *inpath, const char *outpath, int res)
+{
+    FILE *f = fopen(inpath, "rb");
+    if (!f) { fprintf(stderr, "no input\n"); return 1; }
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    uint8_t *sample = (uint8_t *)malloc((size_t)size);
+    if (fread(sample, 1, (size_t)size, f) != (size_t)size) return 1;
+    fclose(f);
+
+    CFHD_DecoderRef dec = NULL;
+    if (CFHD_OpenDecoder(&dec, NULL)) return 1;
+    int aw = 0, ah = 0;
+    CFHD_PixelFormat afmt;
+    CFHD_Error err = CFHD_PrepareToDecode(dec, 0, 0, CFHD_PIXEL_FORMAT_YUY2,
+                                          (CFHD_DecodedResolution)res,
+                                          CFHD_DECODING_FLAGS_NONE,
+                                          sample, (size_t)size, &aw, &ah, &afmt);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    int pitch = aw * 2;
+    uint8_t *out = (uint8_t *)malloc((size_t)pitch * ah);
+    err = CFHD_DecodeSample(dec, sample, (size_t)size, out, pitch);
+    if (err) { fprintf(stderr, "decode %d\n", err); return 1; }
+    FILE *g = fopen(outpath, "wb");
+    fwrite(out, 1, (size_t)pitch * ah, g);
+    fclose(g);
+    fprintf(stderr, "decoded res=%d %dx%d -> %s\n", res, aw, ah, outpath);
+    CFHD_CloseDecoder(dec);
+    return 0;
+}
+
 static int do_decode(const char *inpath, const char *outpath)
 {
     FILE *f = fopen(inpath, "rb");
@@ -129,6 +189,10 @@ int main(int argc, char **argv)
                          atoi(argv[5]), argv[6]);
     if (argc >= 4 && !strcmp(argv[1], "decode"))
         return do_decode(argv[2], argv[3]);
+    if (argc >= 5 && !strcmp(argv[1], "decoderes"))
+        return do_decode_res(argv[2], argv[3], atoi(argv[4]));
+    if (argc >= 4 && !strcmp(argv[1], "thumbnail"))
+        return do_thumbnail(argv[2], argv[3]);
     fprintf(stderr, "usage: %s encode w h quality pattern out.cfhd | decode in.cfhd out.yuy2\n", argv[0]);
     return 2;
 }
