@@ -138,7 +138,10 @@ class SampleInfo:
 class Encoder:
     """Synchronous sample encoder (`EncoderSDK/SampleEncoder.cpp:115-620`)."""
 
-    INPUT_FORMATS = (PixelFormat.YUY2,)
+    INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.V210, PixelFormat.YU64)
+    # internal COLOR_FORMAT codes written into the INPUT_FORMAT tag
+    _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.V210: 10,
+                           PixelFormat.YU64: 12}
 
     def __init__(self) -> None:
         self._prepared = False
@@ -179,20 +182,38 @@ class Encoder:
     # CFHD_EncodeSample
     def encode_sample(self, frame: bytes | np.ndarray, pitch: int | None = None) -> None:
         from cineform_tpu.models import intra_host
+        from cineform_tpu.ref import intra as xf
 
         if not self._prepared:
             raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
-        buf = np.frombuffer(frame, dtype=np.uint8) if isinstance(frame, (bytes, bytearray)) else frame
-        row_bytes = 2 * self.width
+        if self.pixel_format == PixelFormat.YUY2:
+            row_bytes = 2 * self.width
+        elif self.pixel_format == PixelFormat.V210:
+            row_bytes = ((self.width + 47) // 48) * 128
+        else:  # YU64
+            row_bytes = 4 * self.width
+        buf = (np.frombuffer(frame, dtype=np.uint8)
+               if isinstance(frame, (bytes, bytearray)) else frame.view(np.uint8))
         if pitch is not None and pitch != row_bytes:
             buf = buf.reshape(-1, pitch)[:self.height, :row_bytes]
         buf = np.ascontiguousarray(buf).reshape(-1)
         if buf.size != self.height * row_bytes:
             raise CFHDError(ErrorCode.INVALID_ARGUMENT, "bad frame size")
         self._frame_number += 1
-        self._sample = intra_host.encode_sample(
-            buf.tobytes(), self.width, self.height, int(self.quality),
-            frame_number=self._frame_number, metadata=self._metadata)
+        if self.pixel_format == PixelFormat.YUY2:
+            self._sample = intra_host.encode_sample(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                frame_number=self._frame_number, metadata=self._metadata)
+        else:
+            if self.pixel_format == PixelFormat.V210:
+                planes = xf.unpack_v210(buf.tobytes(), self.width, self.height,
+                                        pitch=row_bytes)
+            else:
+                planes = xf.unpack_yu64(buf.tobytes(), self.width, self.height)
+            self._sample = intra_host.encode_sample_planes(
+                planes, self.width, self.height, int(self.quality),
+                input_format=self._INPUT_FORMAT_CODES[self.pixel_format],
+                frame_number=self._frame_number, metadata=self._metadata)
 
     # CFHD_GetSampleData
     def get_sample_data(self) -> bytes:

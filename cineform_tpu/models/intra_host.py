@@ -96,7 +96,8 @@ def encode_band_payload(values: np.ndarray) -> bytes:
 
 def write_sample(channels: list[EncodedChannel], params: IntraParams,
                  frame_number: int = 1,
-                 metadata: EncoderMetadata | None = None) -> bytes:
+                 metadata: EncoderMetadata | None = None,
+                 input_format: int = tags.COLOR_FORMAT_YUYV) -> bytes:
     """Assemble a complete CFHD intra sample."""
     w = SampleWriter()
     num_channels = len(channels)
@@ -109,7 +110,7 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
     w.put_tag(tags.TRANSFORM_TYPE, tags.TRANSFORM_TYPE_SPATIAL)
     w.put_tag(tags.NUM_FRAMES, 1)
     w.put_tag(tags.NUM_CHANNELS, num_channels)
-    w.put_tag_optional(tags.INPUT_FORMAT, tags.COLOR_FORMAT_YUYV)
+    w.put_tag_optional(tags.INPUT_FORMAT, input_format)
     w.put_tag(tags.ENCODED_FORMAT, tags.ENCODED_FORMAT_YUV_422)
     w.put_tag_optional(tags.ENCODED_COLORSPACE, tags.COLOR_SPACE_BT_709)
     w.put_tag(tags.NUM_WAVELETS, num_wavelets)
@@ -228,6 +229,17 @@ def encode_sample(frame_yuy2: bytes, width: int, height: int, quality: int,
     planes = xf.unpack_yuy2(frame_yuy2, width, height, params.precision)
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
     return write_sample(channels, params, frame_number, metadata)
+
+
+def encode_sample_planes(planes: list[np.ndarray], width: int, height: int,
+                         quality: int, input_format: int,
+                         frame_number: int = 1,
+                         metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode pre-unpacked 10-bit [Y, C1, C2] planes (v210/YU64 front ends)."""
+    params = IntraParams(width=width, height=height, quality=quality)
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=input_format)
 
 
 def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:

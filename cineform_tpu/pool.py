@@ -62,6 +62,7 @@ class EncoderPool:
                                 encoding_flags, quality)
         self.width, self.height = width, height
         self.quality = probe.quality
+        self.pixel_format = pixel_format
         self._prepared = True
 
     # CFHD_AttachEncoderPoolMetadata
@@ -85,10 +86,20 @@ class EncoderPool:
 
     def _encode_job(self, frame_number: int, frame: bytes, metadata) -> bytes:
         from cineform_tpu.models import intra_host
+        from cineform_tpu.ref import intra as xf
 
-        return intra_host.encode_sample(
-            frame, self.width, self.height, int(self.quality),
-            frame_number=frame_number, metadata=metadata)
+        if self.pixel_format == api.PixelFormat.YUY2:
+            return intra_host.encode_sample(
+                frame, self.width, self.height, int(self.quality),
+                frame_number=frame_number, metadata=metadata)
+        if self.pixel_format == api.PixelFormat.V210:
+            planes = xf.unpack_v210(frame, self.width, self.height)
+        else:
+            planes = xf.unpack_yu64(frame, self.width, self.height)
+        code = api.Encoder._INPUT_FORMAT_CODES[self.pixel_format]
+        return intra_host.encode_sample_planes(
+            planes, self.width, self.height, int(self.quality),
+            input_format=code, frame_number=frame_number, metadata=metadata)
 
     # CFHD_EncodeAsyncSample
     def encode_async_sample(self, frame_number: int,

@@ -67,6 +67,65 @@ def unpack_yuy2(raw: bytes | np.ndarray, width: int, height: int,
     return [y, v, u]
 
 
+def unpack_yu64(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """YU64 (16-bit 4:2:2, per pixel pair [Y0, C1, Y1, C2]) -> 10-bit planes.
+
+    Channel mapping pinned against the reference encoder's output
+    (`ConvertYU64ToFrame16s`, `Codec/frame.c:1556`): channel 1 <- the first
+    chroma word of each pair, channel 2 <- the second, both >> 6.
+    """
+    arr = (np.frombuffer(raw, dtype="<u2") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    quad = arr.reshape(height, width // 2, 4).astype(_I32)
+    y = quad[:, :, [0, 2]].reshape(height, width) >> 6
+    c1 = quad[:, :, 1] >> 6
+    c2 = quad[:, :, 3] >> 6
+    return [y, c1, c2]
+
+
+def unpack_v210(raw: bytes | np.ndarray, width: int, height: int,
+                pitch: int | None = None,
+                reference_compatible: bool = True) -> list[np.ndarray]:
+    """v210 packed 10-bit 4:2:2 -> planes [Y, Cr, Cb].
+
+    Channel mapping pinned against the reference encoder
+    (`ConvertV210RowToPlanar16s`, `Codec/convert.c:3968`; note its SSE
+    output pointers are cross-wired: u_output_ptr stores to v_output and
+    vice versa).
+
+    reference_compatible: the reference's *scalar* tail (columns past the
+    last multiple of 48) has a Cr-lag bug — per 6-pixel group it emits
+    [Cr0, Cr0, Cr1] and drops Cr2 (`convert.c` scalar loop: the second
+    v-write reuses the stale `v`).  With True (default) we reproduce that
+    byte-for-byte; False unpacks the true samples.
+    """
+    if pitch is None:
+        pitch = ((width + 47) // 48) * 128
+    arr = (np.frombuffer(raw, dtype="<u4") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    words_per_row = pitch // 4
+    rows = arr.reshape(height, words_per_row).astype(np.int64)
+    ngroups = (width + 5) // 6
+    g = rows[:, :4 * ngroups].reshape(height, ngroups, 4)
+    s0, s1, s2 = g & 0x3FF, (g >> 10) & 0x3FF, (g >> 20) & 0x3FF
+    # group of 6 px: w0=(Cb0,Y0,Cr0) w1=(Y1,Cb1,Y2) w2=(Cr1,Y3,Cb2) w3=(Y4,Cr2,Y5)
+    y = np.stack([s1[..., 0], s0[..., 1], s2[..., 1],
+                  s1[..., 2], s0[..., 3], s2[..., 3]], axis=-1)
+    cb = np.stack([s0[..., 0], s1[..., 1], s2[..., 2]], axis=-1)
+    cr = np.stack([s2[..., 0], s0[..., 2], s1[..., 3]], axis=-1)
+    y = y.reshape(height, 6 * ngroups)[:, :width].astype(_I32)
+    cb = cb.reshape(height, 3 * ngroups)[:, :width // 2].astype(_I32)
+    cr = cr.reshape(height, 3 * ngroups)[:, :width // 2].astype(_I32)
+    if reference_compatible:
+        half = width // 2
+        i = (width - width % 48) // 2  # first chroma column of the scalar tail
+        while i + 3 <= half:
+            cr[:, i + 2] = cr[:, i + 1]
+            cr[:, i + 1] = cr[:, i]
+            i += 3
+    return [y, cr, cb]
+
+
 def pack_yuy2(y: np.ndarray, v: np.ndarray, u: np.ndarray) -> bytes:
     """[Y, V, U] 8-bit planes -> YUY2 bytes."""
     h, w = y.shape

@@ -53,6 +53,108 @@ static void fill_yuy2(uint8_t *buf, int w, int h, int pattern)
     }
 }
 
+/* Deterministic 10-bit component values shared by the deep formats:
+ * same plasma gradients as fill_yuy2 but at 10-bit with extra noise. */
+static void fill_components10(int w, int h, int pattern, uint16_t *ybuf,
+                              uint16_t *ubuf, uint16_t *vbuf)
+{
+    uint32_t seed = 0x54321u + (uint32_t)pattern;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x += 2) {
+            uint32_t r = xs32(&seed);
+            int y0 = ((x * 13 + y * 29) >> 1) & 0x3FF;
+            int y1 = (((x + 1) * 13 + y * 29) >> 1) & 0x3FF;
+            int cb = (512 + ((x - y) >> 2)) & 0x3FF;
+            int cr = (512 + ((x / 2 + y) >> 2)) & 0x3FF;
+            if (pattern > 0) {
+                y0 = (y0 + (int)(r & 31)) & 0x3FF;
+                y1 = (y1 + (int)((r >> 5) & 31)) & 0x3FF;
+                cb = (cb + (int)((r >> 10) & 31)) & 0x3FF;
+                cr = (cr + (int)((r >> 15) & 31)) & 0x3FF;
+            }
+            ybuf[y * w + x] = (uint16_t)y0;
+            ybuf[y * w + x + 1] = (uint16_t)y1;
+            ubuf[y * (w / 2) + x / 2] = (uint16_t)cb;
+            vbuf[y * (w / 2) + x / 2] = (uint16_t)cr;
+        }
+    }
+}
+
+static int do_encode_v210(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_V210,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    uint16_t *yb = (uint16_t *)malloc(w * h * 2), *ub = (uint16_t *)malloc(w * h), *vb = (uint16_t *)malloc(w * h);
+    fill_components10(w, h, pattern, yb, ub, vb);
+    /* pack v210: 6 pixels per 4 words; pitch = ((w+47)/48)*128 bytes */
+    int pitch = ((w + 47) / 48) * 128;
+    uint32_t *buf = (uint32_t *)calloc(h, pitch);
+    for (int y = 0; y < h; y++) {
+        uint32_t *row = buf + (size_t)y * pitch / 4;
+        const uint16_t *yp = yb + (size_t)y * w;
+        const uint16_t *up = ub + (size_t)y * (w / 2);
+        const uint16_t *vp = vb + (size_t)y * (w / 2);
+        for (int x = 0; x < w; x += 6) {
+            row[0] = (uint32_t)up[0] | ((uint32_t)yp[0] << 10) | ((uint32_t)vp[0] << 20);
+            row[1] = (uint32_t)yp[1] | ((uint32_t)up[1] << 10) | ((uint32_t)yp[2] << 20);
+            row[2] = (uint32_t)vp[1] | ((uint32_t)yp[3] << 10) | ((uint32_t)up[2] << 20);
+            row[3] = (uint32_t)yp[4] | ((uint32_t)vp[2] << 10) | ((uint32_t)yp[5] << 20);
+            row += 4; yp += 6; up += 3; vp += 3;
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, pitch);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "v210 encoded %dx%d q=%d -> %zu bytes\n", w, h, quality, size);
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
+static int do_encode_yu64(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YU64,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    uint16_t *yb = (uint16_t *)malloc(w * h * 2), *ub = (uint16_t *)malloc(w * h), *vb = (uint16_t *)malloc(w * h);
+    fill_components10(w, h, pattern, yb, ub, vb);
+    /* YU64: per pixel pair: Y0 U Y1 V as 16-bit (10-bit << 6) */
+    uint16_t *buf = (uint16_t *)malloc((size_t)w * h * 4);
+    for (int y = 0; y < h; y++) {
+        uint16_t *row = buf + (size_t)y * w * 2;
+        for (int x = 0; x < w; x += 2) {
+            row[2 * x + 0] = (uint16_t)(yb[y * w + x] << 6);
+            row[2 * x + 1] = (uint16_t)(ub[y * (w / 2) + x / 2] << 6);
+            row[2 * x + 2] = (uint16_t)(yb[y * w + x + 1] << 6);
+            row[2 * x + 3] = (uint16_t)(vb[y * (w / 2) + x / 2] << 6);
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, w * 4);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "yu64 encoded %dx%d q=%d -> %zu bytes\n", w, h, quality, size);
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
 static int do_encode(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -187,6 +289,12 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_v210"))
+        return do_encode_v210(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_yu64"))
+        return do_encode_yu64(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6]);
     if (argc >= 4 && !strcmp(argv[1], "decode"))
         return do_decode(argv[2], argv[3]);
     if (argc >= 5 && !strcmp(argv[1], "decoderes"))
