@@ -1,0 +1,245 @@
+"""Host decode/encode of 2-frame GOP (FIELDPLUS) CFHD group samples.
+
+Decode contract: `Codec/decoder.c:11180` DecodeSampleGroup with the
+17-subband map at `decoder.c:11191`; encode assembles the GROUP sample
+layout captured from the reference (SAMPLE=2 header, 6 wavelets, the
+temporal wavelet's empty band entry with subband 255, GROUP trailer).
+
+The group encode is functionally compatible (the reference SDK decodes our
+groups) but not yet byte-exact: the reference's fused first-level GOP
+kernel (`TransformForwardFrameYUVThreaded`, `encoder.c:12247`) rounds its
+highpass bands slightly differently than the plain frame-wavelet math;
+its exact semantics are a TODO.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cineform_tpu.bitstream import parse_sample
+from cineform_tpu.bitstream.writer import SampleWriter
+from cineform_tpu.entropy import native as entropy_native
+from cineform_tpu.models import intra_host
+from cineform_tpu.models.intra_host import EncoderMetadata, align16_pixels
+from cineform_tpu.ref import gop as gxf
+from cineform_tpu.ref import intra as xf
+from cineform_tpu.spec import tags
+from cineform_tpu.spec.production import IntraParams, pack_prescale_table
+
+# subband -> (wavelet index, band slot)
+SUBBAND_MAP = {}
+for _sb in (1, 2, 3):
+    SUBBAND_MAP[_sb] = (5, _sb - 1)
+for _sb in (4, 5, 6):
+    SUBBAND_MAP[_sb] = (4, _sb - 4)
+for _sb in (7, 8, 9, 10):
+    SUBBAND_MAP[_sb] = (3, _sb - 7)
+for _sb in (11, 12, 13):
+    SUBBAND_MAP[_sb] = (1, _sb - 11)
+for _sb in (14, 15, 16):
+    SUBBAND_MAP[_sb] = (0, _sb - 14)
+
+
+def decode_group(sample: bytes) -> tuple[bytes, bytes]:
+    """Decode one GROUP sample into two YUY2 frames."""
+    s = parse_sample(sample)
+    frames0 = []
+    frames1 = []
+    for c in s.channels:
+        bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
+        for b in c.bands:
+            if b.subband == 255 or b.subband == 0:
+                continue
+            widx, slot = SUBBAND_MAP[b.subband]
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][slot] = vals.reshape(b.height, pitchw)[:, :b.width]
+        wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
+        f0, f1 = gxf.inverse_channel_gop(c.lowpass, wb)
+        frames0.append(f0)
+        frames1.append(f1)
+    return xf.pack_yuy2(*frames0), xf.pack_yuy2(*frames1)
+
+
+def sequence_header(width: int, height: int,
+                    input_format: int = tags.COLOR_FORMAT_YUYV) -> bytes:
+    """The tiny sequence-header sample emitted for the first GOP frame
+    (`PutVideoSequenceHeader`, observed layout from the reference)."""
+    w = SampleWriter()
+    w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_SEQUENCE_HEADER)
+    w.put_tag(tags.VERSION_MAJOR, 0)
+    w.put_tag(tags.VERSION_MINOR, 1)
+    w.put_tag(tags.VERSION_REVISION, 0)
+    w.put_tag(tags.VERSION_EDIT, 0)
+    w.put_tag(tags.SEQUENCE_FLAGS, 0)
+    w.put_tag(tags.FRAME_WIDTH, width)
+    w.put_tag(tags.FRAME_HEIGHT, height)
+    w.put_tag(tags.FRAME_FORMAT, 2)
+    w.put_tag_optional(tags.INPUT_FORMAT, input_format)
+    return w.getvalue()
+
+
+def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
+                 height: int, quality: int, frame_number: int = 1,
+                 metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode two YUY2 frames into one CFHD GROUP sample."""
+    params = IntraParams(width=width, height=height, quality=quality)
+    f0 = xf.unpack_yuy2(frame0_yuy2, width, height)
+    f1 = xf.unpack_yuy2(frame1_yuy2, width, height)
+    scales = gxf.fieldplus_band_scales()
+    prescale = gxf.FIELDPLUS_PRESCALE
+
+    w = SampleWriter()
+    w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_GROUP)
+    index_off = w.put_index_placeholder(3)
+    w.put_tag(tags.TRANSFORM_TYPE, tags.TRANSFORM_TYPE_FIELDPLUS)
+    w.put_tag(tags.NUM_FRAMES, 2)
+    w.put_tag(tags.NUM_CHANNELS, 3)
+    w.put_tag_optional(tags.INPUT_FORMAT, tags.COLOR_FORMAT_YUYV)
+    w.put_tag_optional(tags.ENCODED_COLORSPACE, tags.COLOR_SPACE_BT_709)
+    w.put_tag(tags.NUM_WAVELETS, 6)
+    w.put_tag(tags.NUM_SUBBANDS, 17)
+    w.put_tag(tags.NUM_SPATIAL, 3)
+    w.put_tag(tags.FIRST_WAVELET, tags.WAVELET_TYPE_SPATIAL)
+    w.put_tag(tags.FRAME_WIDTH, width)
+    w.put_tag(tags.FRAME_HEIGHT, height)
+    w.put_tag_optional(tags.FRAME_NUMBER, frame_number)
+    w.put_tag(tags.PRECISION, tags.PRECISION_10BIT)
+    w.put_tag_optional(tags.FRAME_DISPLAY_HEIGHT, height)
+    w.put_tag_optional(tags.VERSION, tags.FILE_VERSION_CODE)
+    w.put_tag_optional(tags.QUALITY_L, quality & 0xFFFF)
+    w.put_tag_optional(tags.QUALITY_H, (quality >> 16) & 0xFFFF)
+    w.put_tag_optional(tags.PRESCALE_TABLE, pack_prescale_table(prescale))
+    w.push_chunk(tags.SAMPLE_SIZE)
+    meta = (metadata or EncoderMetadata()).block()
+    w.put_tag_optional(tags.METADATA_CHUNK, len(meta) // 4)
+    w.put_bytes(meta)
+    w.put_tag_optional(tags.METADATA_CHUNK, 512 // 4)
+    w.put_bytes(b"FREE" + (504).to_bytes(4, "little") + b"\0" * 504)
+    w.put_tag_optional(tags.INTERLACED_FLAGS, 0)
+    w.put_tag_optional(tags.PROTECTION_FLAGS, 0)
+    w.put_tag_optional(tags.PICTURE_ASPECT_X, 16)
+    w.put_tag_optional(tags.PICTURE_ASPECT_Y, 9)
+    w.put_tag(tags.SAMPLE_FLAGS, tags.SAMPLE_FLAGS_PROGRESSIVE)
+
+    channel_sizes = []
+    for ch in range(3):
+        if ch > 0:
+            w.pad_to_tag()
+            w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_CHANNEL)
+            w.put_tag(tags.CHANNEL, ch)
+        start = len(w.buf)
+        bq = gxf.fieldplus_band_quant(quality, tags.PRECISION_10BIT, ch)
+        lowpass, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq)
+
+        # lowpass band (subband 0)
+        w.put_marker(tags.LOWPASS_START_CODE)
+        w.put_tag(tags.LOWPASS_SUBBAND, 0)
+        w.put_tag(tags.NUM_LEVELS, 4)
+        w.put_tag(tags.LOWPASS_WIDTH, lowpass.shape[1])
+        w.put_tag(tags.LOWPASS_HEIGHT, lowpass.shape[0])
+        for t in (tags.MARGIN_LEFT, tags.MARGIN_TOP, tags.MARGIN_RIGHT,
+                  tags.MARGIN_BOTTOM, tags.PIXEL_OFFSET):
+            w.put_tag(t, 0)
+        w.put_tag(tags.QUANTIZATION, 1)
+        w.put_tag(tags.PIXEL_DEPTH, 16)
+        w.push_chunk(tags.SUBBAND_SIZE)
+        w.put_marker(tags.COEFFICIENT_START_CODE)
+        w.put_bytes(lowpass.astype(">i2").tobytes())
+        w.put_marker(tags.LOWPASS_END_CODE)
+        w.pop_chunk()
+
+        def put_band(band_number, subband, vals, quant, scale, coding_flags=1):
+            bh, bw = vals.shape
+            w.put_marker(tags.BAND_START_CODE)
+            w.put_tag(tags.BAND_NUMBER, band_number)
+            w.put_tag(tags.BAND_CODING_FLAGS, coding_flags)
+            w.put_tag(tags.BAND_WIDTH, bw)
+            w.put_tag(tags.BAND_HEIGHT, bh)
+            w.put_tag(tags.BAND_SUBBAND, subband)
+            w.put_tag(tags.BAND_ENCODING, tags.BAND_ENCODING_RUNLENGTHS)
+            w.put_tag(tags.BAND_QUANTIZATION, quant)
+            w.put_tag(tags.BAND_SCALE, scale)
+            w.push_chunk(tags.SUBBAND_SIZE)
+            w.put_tag(tags.BAND_HEADER, 0)
+            w.put_bytes(intra_host.encode_band_payload(vals))
+            w.pad_to_tag()
+            w.put_tag(tags.BAND_TRAILER, 0)
+            w.pop_chunk()
+
+        def wavelet_header(wtype, number, level, nbands, bw, bh, lscale):
+            w.put_marker(tags.HIGHPASS_START_CODE)
+            w.put_tag(tags.WAVELET_TYPE, wtype)
+            w.put_tag(tags.WAVELET_NUMBER, number)
+            w.put_tag(tags.WAVELET_LEVEL, level)
+            w.put_tag(tags.NUM_BANDS, nbands)
+            w.put_tag(tags.HIGHPASS_WIDTH, bw)
+            w.put_tag(tags.HIGHPASS_HEIGHT, bh)
+            w.put_tag(tags.LOWPASS_BORDER, 0)
+            w.put_tag(tags.HIGHPASS_BORDER, 0)
+            w.put_tag(tags.LOWPASS_SCALE, lscale)
+            w.put_tag(tags.LOWPASS_DIVISOR, 0)
+            w.push_chunk(tags.LEVEL_SIZE)
+
+        def wavelet_trailer():
+            w.put_marker(tags.HIGHPASS_END_CODE)
+            w.pop_chunk()
+
+        # w5 (number 6, level 4): subbands 1-3
+        bh, bw = bands[5][0].shape
+        wavelet_header(tags.WAVELET_TYPE_SPATIAL, 6, 4, 4, bw, bh, scales[5][0])
+        for i in range(3):
+            put_band(i + 1, i + 1, bands[5][i], bq[5][i], scales[5][i + 1])
+        wavelet_trailer()
+        # w4 (number 5, level 3): subbands 4-6
+        bh, bw = bands[4][0].shape
+        wavelet_header(tags.WAVELET_TYPE_SPATIAL, 5, 3, 4, bw, bh, scales[4][0])
+        for i in range(3):
+            put_band(i + 1, i + 4, bands[4][i], bq[4][i], scales[4][i + 1])
+        wavelet_trailer()
+        # w3 (number 4, level 3): subbands 7-10 (band 0 = coded LL)
+        bh, bw = bands[3][0].shape
+        wavelet_header(tags.WAVELET_TYPE_SPATIAL, 4, 3, 4, bw, bh, scales[3][0])
+        for i in range(4):
+            put_band(i, i + 7, bands[3][i], bq[3][i], scales[3][i] if i else scales[3][0] // 1)
+        wavelet_trailer()
+        # w2 (number 3, level 2): temporal, one empty band entry (the
+        # temporal bands are rebuilt from w3/w4 on decode; the reference
+        # still emits a placeholder band with subband 255 and no payload)
+        th, tw = f0[ch].shape[0] // 2, f0[ch].shape[1] // 2
+        wavelet_header(tags.WAVELET_TYPE_TEMPORAL, 3, 2, 2, tw, th, scales[2][0])
+        w.put_marker(tags.BAND_START_CODE)
+        w.put_tag(tags.BAND_NUMBER, 1)
+        w.put_tag(tags.BAND_CODING_FLAGS, 1)
+        w.put_tag(tags.BAND_WIDTH, tw)
+        w.put_tag(tags.BAND_HEIGHT, th)
+        w.put_tag(tags.BAND_SUBBAND, 255)
+        w.put_tag(tags.BAND_ENCODING, tags.BAND_ENCODING_RUNLENGTHS)
+        w.put_tag(tags.BAND_QUANTIZATION, 1)
+        w.put_tag(tags.BAND_SCALE, scales[2][1])
+        w.push_chunk(tags.SUBBAND_SIZE)
+        w.put_tag(tags.BAND_HEADER, 0)
+        w.put_tag(tags.BAND_TRAILER, 0)
+        w.pop_chunk()
+        wavelet_trailer()
+        # w1 (number 2, level 1): subbands 11-13 (frame 1)
+        bh, bw = bands[1][0].shape
+        wavelet_header(tags.WAVELET_TYPE_HORZTEMP, 2, 1, 4, bw, bh, scales[1][0])
+        for i in range(3):
+            put_band(i + 1, i + 11, bands[1][i], bq[1][i], scales[1][i + 1])
+        wavelet_trailer()
+        # w0 (number 1, level 1): subbands 14-16 (frame 0)
+        bh, bw = bands[0][0].shape
+        wavelet_header(tags.WAVELET_TYPE_HORZTEMP, 1, 1, 4, bw, bh, scales[0][0])
+        for i in range(3):
+            put_band(i + 1, i + 14, bands[0][i], bq[0][i], scales[0][i + 1])
+        wavelet_trailer()
+        w.pad_to_tag()
+        channel_sizes.append(len(w.buf) - start)
+
+    w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_GROUP_TRAILER)
+    w.put_tag(tags.GROUP_TRAILER, 0)
+    w.pop_chunk()
+    w.patch_index(index_off, channel_sizes)
+    return w.getvalue()

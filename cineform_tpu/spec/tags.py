@@ -151,8 +151,9 @@ SAMPLE_TYPE_IFRAME = 9
 # --- transform / wavelet types (`Codec/wavelet.h:74-131`) --------------------
 TRANSFORM_TYPE_SPATIAL = 0
 TRANSFORM_TYPE_FIELD = 1
-TRANSFORM_TYPE_FRAME = 2
-TRANSFORM_TYPE_FIELDPLUS = 3
+TRANSFORM_TYPE_FIELDPLUS = 2
+TRANSFORM_TYPE_FRAME = 3
+TRANSFORM_TYPE_INTERLACED = 4
 
 WAVELET_TYPE_HORIZONTAL = 1
 WAVELET_TYPE_VERTICAL = 2

@@ -155,6 +155,37 @@ static int do_encode_yu64(int w, int h, int quality, int pattern, const char *pa
     return 0;
 }
 
+static int do_encode_gop(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    for (int i = 0; i < 2; i++) {
+        fill_yuy2(frame, w, h, pattern >= 100 ? pattern : pattern + i);
+        err = CFHD_EncodeSample(enc, frame, w * 2);
+        fprintf(stderr, "frame %d: encode err=%d\n", i, err);
+        void *sample = NULL; size_t size = 0;
+        CFHD_Error gerr = CFHD_GetSampleData(enc, &sample, &size);
+        fprintf(stderr, "frame %d: getdata err=%d size=%zu\n", i, gerr, size);
+        if (gerr == 0 && size > 0) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d", path, i);
+            FILE *f = fopen(name, "wb");
+            fwrite(sample, 1, size, f);
+            fclose(f);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 static int do_encode(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -246,6 +277,43 @@ static int do_decode_res(const char *inpath, const char *outpath, int res)
     return 0;
 }
 
+/* Decode a 2-frame GOP: feed the sequence-header sample then the group
+ * sample; call DecodeSample twice on the group to harvest both frames. */
+static int do_decode_gop(const char *seqpath, const char *grppath, const char *outbase)
+{
+    FILE *f = fopen(grppath, "rb");
+    if (!f) return 1;
+    fseek(f, 0, SEEK_END); long gsize = ftell(f); fseek(f, 0, SEEK_SET);
+    uint8_t *group = (uint8_t *)malloc(gsize);
+    if (fread(group, 1, gsize, f) != (size_t)gsize) return 1;
+    fclose(f);
+
+    CFHD_DecoderRef dec = NULL;
+    if (CFHD_OpenDecoder(&dec, NULL)) return 1;
+    int aw = 0, ah = 0;
+    CFHD_PixelFormat afmt;
+    CFHD_Error err = CFHD_PrepareToDecode(dec, 0, 0, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_DECODED_RESOLUTION_FULL,
+                                          CFHD_DECODING_FLAGS_NONE,
+                                          group, (size_t)gsize, &aw, &ah, &afmt);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    int pitch = aw * 2;
+    uint8_t *out = (uint8_t *)malloc((size_t)pitch * ah);
+    for (int i = 0; i < 2; i++) {
+        err = CFHD_DecodeSample(dec, group, (size_t)gsize, out, pitch);
+        fprintf(stderr, "gop decode call %d err=%d\n", i, err);
+        if (!err) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d.yuy2", outbase, i);
+            FILE *g = fopen(name, "wb");
+            fwrite(out, 1, (size_t)pitch * ah, g);
+            fclose(g);
+        }
+    }
+    CFHD_CloseDecoder(dec);
+    return 0;
+}
+
 static int do_decode(const char *inpath, const char *outpath)
 {
     FILE *f = fopen(inpath, "rb");
@@ -289,12 +357,17 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_gop"))
+        return do_encode_gop(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                             atoi(argv[5]), argv[6]);
     if (argc >= 7 && !strcmp(argv[1], "encode_v210"))
         return do_encode_v210(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
     if (argc >= 7 && !strcmp(argv[1], "encode_yu64"))
         return do_encode_yu64(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
+    if (argc >= 5 && !strcmp(argv[1], "decode_gop"))
+        return do_decode_gop(argv[2], argv[3], argv[4]);
     if (argc >= 4 && !strcmp(argv[1], "decode"))
         return do_decode(argv[2], argv[3]);
     if (argc >= 5 && !strcmp(argv[1], "decoderes"))
