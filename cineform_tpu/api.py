@@ -138,7 +138,8 @@ class SampleInfo:
 class Encoder:
     """Synchronous sample encoder (`EncoderSDK/SampleEncoder.cpp:115-620`)."""
 
-    INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.V210, PixelFormat.YU64)
+    INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.V210, PixelFormat.YU64,
+                     PixelFormat.RG48, PixelFormat.B64A)
     # internal COLOR_FORMAT codes written into the INPUT_FORMAT tag
     _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.V210: 10,
                            PixelFormat.YU64: 12}
@@ -162,7 +163,11 @@ class Encoder:
                           ) -> None:
         if pixel_format not in self.INPUT_FORMATS:
             raise CFHDError(ErrorCode.BADFORMAT, f"{pixel_format!r}")
-        if encoded_format != EncodedFormat.YUV_422:
+        rgb_ok = (pixel_format == PixelFormat.RG48
+                  and encoded_format == EncodedFormat.RGB_444) or (
+                  pixel_format == PixelFormat.B64A
+                  and encoded_format == EncodedFormat.RGBA_4444)
+        if encoded_format != EncodedFormat.YUV_422 and not rgb_ok:
             raise CFHDError(ErrorCode.BADFORMAT, f"{encoded_format!r}")
         if width % 16 or height % 8 or width < 32 or height < 48:
             # dims must survive 3 halvings with filter-legal extents
@@ -190,6 +195,10 @@ class Encoder:
             row_bytes = 2 * self.width
         elif self.pixel_format == PixelFormat.V210:
             row_bytes = ((self.width + 47) // 48) * 128
+        elif self.pixel_format == PixelFormat.RG48:
+            row_bytes = 6 * self.width
+        elif self.pixel_format == PixelFormat.B64A:
+            row_bytes = 8 * self.width
         else:  # YU64
             row_bytes = 4 * self.width
         buf = (np.frombuffer(frame, dtype=np.uint8)
@@ -200,7 +209,12 @@ class Encoder:
         if buf.size != self.height * row_bytes:
             raise CFHDError(ErrorCode.INVALID_ARGUMENT, "bad frame size")
         self._frame_number += 1
-        if self.pixel_format == PixelFormat.YUY2:
+        if self.pixel_format in (PixelFormat.RG48, PixelFormat.B64A):
+            self._sample = intra_host.encode_sample_rgb(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                alpha=(self.pixel_format == PixelFormat.B64A),
+                frame_number=self._frame_number, metadata=self._metadata)
+        elif self.pixel_format == PixelFormat.YUY2:
             self._sample = intra_host.encode_sample(
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 frame_number=self._frame_number, metadata=self._metadata)

@@ -97,7 +97,10 @@ def encode_band_payload(values: np.ndarray) -> bytes:
 def write_sample(channels: list[EncodedChannel], params: IntraParams,
                  frame_number: int = 1,
                  metadata: EncoderMetadata | None = None,
-                 input_format: int = tags.COLOR_FORMAT_YUYV) -> bytes:
+                 input_format: int = tags.COLOR_FORMAT_YUYV,
+                 encoded_format: int = tags.ENCODED_FORMAT_YUV_422,
+                 colorspace: int | None = tags.COLOR_SPACE_BT_709,
+                 quality_high: int = 0) -> bytes:
     """Assemble a complete CFHD intra sample."""
     w = SampleWriter()
     num_channels = len(channels)
@@ -110,9 +113,14 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
     w.put_tag(tags.TRANSFORM_TYPE, tags.TRANSFORM_TYPE_SPATIAL)
     w.put_tag(tags.NUM_FRAMES, 1)
     w.put_tag(tags.NUM_CHANNELS, num_channels)
-    w.put_tag_optional(tags.INPUT_FORMAT, input_format)
-    w.put_tag(tags.ENCODED_FORMAT, tags.ENCODED_FORMAT_YUV_422)
-    w.put_tag_optional(tags.ENCODED_COLORSPACE, tags.COLOR_SPACE_BT_709)
+    if input_format >= 100:
+        # formats >= COLOR_FORMAT_INPUT_FORMAT_TAG_REQUIRED (codec.c:1407)
+        w.put_tag(tags.INPUT_FORMAT, input_format)
+    else:
+        w.put_tag_optional(tags.INPUT_FORMAT, input_format)
+    w.put_tag(tags.ENCODED_FORMAT, encoded_format)
+    if colorspace:
+        w.put_tag_optional(tags.ENCODED_COLORSPACE, colorspace)
     w.put_tag(tags.NUM_WAVELETS, num_wavelets)
     w.put_tag(tags.NUM_SUBBANDS, 3 * num_wavelets + 1)
     w.put_tag(tags.NUM_SPATIAL, params.num_spatial)
@@ -124,8 +132,12 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
     w.put_tag_optional(tags.FRAME_DISPLAY_HEIGHT, params.height)
     w.put_tag_optional(tags.VERSION, tags.FILE_VERSION_CODE)
     w.put_tag_optional(tags.QUALITY_L, params.quality & 0xFFFF)
-    w.put_tag_optional(tags.QUALITY_H, (params.quality >> 16) & 0xFFFF)
-    w.put_tag_optional(tags.PRESCALE_TABLE, pack_prescale_table(params.prescale))
+    w.put_tag_optional(tags.QUALITY_H, ((params.quality >> 16) | quality_high) & 0xFFFF)
+    if params.precision == tags.PRECISION_12BIT:
+        # 12-bit prescales fail TestTransformPrescaleMatch -> required tag
+        w.put_tag(tags.PRESCALE_TABLE, pack_prescale_table(params.prescale))
+    else:
+        w.put_tag_optional(tags.PRESCALE_TABLE, pack_prescale_table(params.prescale))
 
     # --- sample size chunk + metadata + extension (encoder.c:7559-7621) -----
     w.push_chunk(tags.SAMPLE_SIZE)
@@ -240,6 +252,69 @@ def encode_sample_planes(planes: list[np.ndarray], width: int, height: int,
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
     return write_sample(channels, params, frame_number, metadata,
                         input_format=input_format)
+
+
+def encode_sample_rgb(frame: bytes, width: int, height: int, quality: int,
+                      alpha: bool = False, frame_number: int = 1,
+                      metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode RG48 (RGB 4:4:4) or b64a (RGBA 4:4:4:4) at 12-bit precision.
+
+    Byte-exact vs the reference for both formats (tests/test_formats.py).
+    """
+    if alpha:
+        planes = xf.unpack_b64a(frame, width, height)
+        params = IntraParams(width=width, height=height, quality=quality,
+                             precision=tags.PRECISION_12BIT,
+                             chroma_full_res=False)
+        input_format, encoded_format, qhigh = 30, tags.ENCODED_FORMAT_RGBA_4444, 0x2000
+    else:
+        planes = xf.unpack_rg48(frame, width, height)
+        params = IntraParams(width=width, height=height, quality=quality,
+                             precision=tags.PRECISION_12BIT,
+                             chroma_full_res=True)
+        input_format, encoded_format, qhigh = 120, tags.ENCODED_FORMAT_RGB_444, 0
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=input_format,
+                        encoded_format=encoded_format, colorspace=None,
+                        quality_high=qhigh)
+
+
+def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
+    """Decode an RGB 4:4:4 / RGBA 4:4:4:4 sample back to RG48 / b64a bytes
+    (16-bit components; alpha step curve inverted)."""
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    planes = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        ll = c.lowpass
+        for k in (2, 1):
+            lh, hl, hh = bands[k][1], bands[k][2], bands[k][3]
+            ll = xf.dwt2d_inverse(ll, lh, hl, hh, 2 if prescale[k] == 2 else 1)
+        lh, hl, hh = bands[0][1], bands[0][2], bands[0][3]
+        plane = xf.dwt2d_inverse(ll, lh, hl, hh, 1)
+        planes.append(np.clip(plane, 0, 4095))
+    g, r, b = planes[0], planes[1], planes[2]
+    h, w = g.shape
+    if len(planes) == 4:
+        a = planes[3].astype(np.int64)
+        # invert the alpha step curve (frame.c:6699-6706): curve maps
+        # (0, 4095) -> ((a*223+128)>>8)+256, fixed points at 0 and 4095
+        a_lin = np.clip(((a - 256) * 256 + 111) // 223, 0, 4095)
+        a = np.where(a == 0, 0, np.where(a >= 4095, 4095, a_lin))
+        out = np.stack([np.clip(a, 0, 4095), r, g, b], axis=-1) << 4
+        return out.astype("<u2").tobytes(), s
+    out = np.stack([r, g, b], axis=-1) << 4
+    return out.astype("<u2").tobytes(), s
 
 
 def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:

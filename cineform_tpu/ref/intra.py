@@ -389,3 +389,30 @@ def dequant_band(codes: np.ndarray, q: int, flags: int = 4) -> np.ndarray:
     expand = np.array([cb.expand_code(m, flags) for m in range(int(mag.max()) + 1)],
                       dtype=np.int64)
     return wrap16(np.sign(c) * expand[mag] * q)
+
+
+def unpack_rg48(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """RG48 (16-bit RGB) -> 12-bit planes in CFHD channel order [G, R, B]
+    (`Codec/frame.c` ConvertRGB48ToFrame16s; order pinned vs golden)."""
+    arr = (np.frombuffer(raw, dtype="<u2") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    px = arr.reshape(height, width, 3).astype(_I32)
+    return [px[:, :, 1] >> 4, px[:, :, 0] >> 4, px[:, :, 2] >> 4]
+
+
+def unpack_b64a(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """b64a (16-bit ARGB) -> 12-bit planes [G, R, B, A].
+
+    Quirks pinned against the reference (`ConvertBGRA64ToFrame_4444_16s`,
+    `Codec/frame.c:6569`): the pixel loop reads the nominally big-endian
+    b64a words as native little-endian WITHOUT byte swapping, and the alpha
+    channel gets the extreme-preserving step curve
+    ((a*223+128)>>8)+256 for 0 < a < 4095 (`frame.c:6699-6706`).
+    """
+    arr = (np.frombuffer(raw, dtype="<u2") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    px = arr.reshape(height, width, 4).astype(_I32)
+    a, r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2], px[:, :, 3]
+    a = a >> 4
+    a = np.where((a > 0) & (a < 4095), ((a * 223 + 128) >> 8) + 256, a)
+    return [g >> 4, r >> 4, b >> 4, a]

@@ -128,7 +128,8 @@ def spatial_band_scales(num_spatial: int = 2) -> list[list[int]]:
 
 
 def intra_band_quant(quality: int, precision: int, channel: int,
-                     num_spatial: int = 2) -> list[tuple[int, int, int]]:
+                     num_spatial: int = 2,
+                     chroma_full_res: bool = False) -> list[tuple[int, int, int]]:
     """Per-wavelet (q_lh, q_hl, q_hh) quantizers for the intra transform,
     wavelet index 0 (finest, the frame wavelet) first.
 
@@ -139,7 +140,8 @@ def intra_band_quant(quality: int, precision: int, channel: int,
       frame wavelet (subbands 3*num_spatial+1 ..):
           quant = table[subband]  (scale not applied)
     """
-    luma, chroma = quality_tables(quality, precision)
+    luma, chroma = quality_tables(quality, precision,
+                                  chroma_full_res=chroma_full_res)
     table = chroma if channel > 0 else luma
     scales = spatial_band_scales(num_spatial)
 
@@ -187,6 +189,7 @@ class IntraParams:
     quality: int
     precision: int = tags.PRECISION_10BIT
     num_spatial: int = 2
+    chroma_full_res: bool = False
 
     @property
     def num_wavelets(self) -> int:
@@ -194,7 +197,7 @@ class IntraParams:
 
     def band_quant(self, channel: int) -> list[tuple[int, int, int]]:
         return intra_band_quant(self.quality, self.precision, channel,
-                                self.num_spatial)
+                                self.num_spatial, self.chroma_full_res)
 
     @property
     def prescale(self) -> list[int]:

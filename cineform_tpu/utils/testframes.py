@@ -92,3 +92,31 @@ def yu64_frame(width: int, height: int, pattern: int = 0) -> bytes:
     buf[:, 2::4] = y[:, 1::2] << 6
     buf[:, 3::4] = cr << 6
     return buf.tobytes()
+
+
+def rg48_frame(width: int, height: int, pattern: int = 0) -> bytes:
+    """Deterministic RG48 frame (matches probe do_encode_rg48)."""
+    r = np.zeros((height, width), np.int64)
+    g = np.zeros((height, width), np.int64)
+    b = np.zeros((height, width), np.int64)
+    xg, yg = np.meshgrid(np.arange(width), np.arange(height))
+    r[:] = ((xg * 23 + yg * 7) << 4) & 0xFFFF
+    g[:] = ((xg * 11 + yg * 17) << 4) & 0xFFFF
+    b[:] = ((xg * 5 + yg * 31) << 4) & 0xFFFF
+    if pattern > 0:
+        s = _xorshift32_stream(0xABCDE + pattern, height * width).reshape(
+            height, width).astype(np.int64)
+        r = (r + (s & 1023)) & 0xFFFF
+        g = (g + ((s >> 10) & 1023)) & 0xFFFF
+        b = (b + ((s >> 20) & 1023)) & 0xFFFF
+    return np.stack([r, g, b], axis=-1).astype("<u2").tobytes()
+
+
+def b64a_frame(width: int, height: int, pattern: int = 0) -> bytes:
+    """Deterministic b64a frame (big-endian ARGB; matches probe)."""
+    rgb = np.frombuffer(rg48_frame(width, height, pattern), "<u2").reshape(
+        height, width, 3).astype(np.int64)
+    xg, yg = np.meshgrid(np.arange(width), np.arange(height))
+    a = (0xFFFF - ((xg + yg) & 0xFF)) & 0xFFFF
+    argb = np.stack([a, rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]], axis=-1)
+    return argb.astype(">u2").tobytes()

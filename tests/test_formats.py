@@ -53,3 +53,62 @@ def test_deep_formats_decode_matches_reference():
         gold = np.frombuffer(_golden(f"{name}.yuy2"), np.uint8).astype(int)
         mine = np.frombuffer(out, np.uint8).astype(int)
         assert np.abs(mine - gold).max() <= 1
+
+
+def test_rg48_encode_byte_exact():
+    from cineform_tpu.utils.testframes import rg48_frame
+
+    gold = _golden("rg48_320x240_q4_p1.cfhd")
+    meta = _metadata_from(gold)
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.RG48,
+                          encoded_format=api.EncodedFormat.RGB_444,
+                          quality=api.EncodingQuality.FILMSCAN1)
+    enc.attach_metadata(meta)
+    enc.encode_sample(rg48_frame(320, 240, 1))
+    assert enc.get_sample_data() == gold
+
+
+def test_b64a_encode_byte_exact():
+    from cineform_tpu.utils.testframes import b64a_frame
+
+    gold = _golden("b64a_320x240_q4_p1.cfhd")
+    meta = _metadata_from(gold)
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.B64A,
+                          encoded_format=api.EncodedFormat.RGBA_4444,
+                          quality=api.EncodingQuality.FILMSCAN1)
+    enc.attach_metadata(meta)
+    enc.encode_sample(b64a_frame(320, 240, 1))
+    assert enc.get_sample_data() == gold
+
+
+def test_rgb_roundtrip():
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.utils.testframes import rg48_frame
+
+    w, h = 320, 240
+    raw = rg48_frame(w, h, 1)
+    sample = intra_host.encode_sample_rgb(raw, w, h, 4)
+    out, s = intra_host.decode_sample_rgb(sample)
+    assert s.encoded_format == 3
+    a = np.frombuffer(raw, "<u2").astype(float)
+    b = np.frombuffer(out, "<u2").astype(float)
+    psnr = 10 * np.log10(65535.0 ** 2 / np.mean((a - b) ** 2))
+    assert psnr > 40, psnr
+
+
+def test_rgba_roundtrip_alpha_extremes():
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.utils.testframes import b64a_frame
+
+    w, h = 320, 240
+    raw = b64a_frame(w, h, 0)
+    sample = intra_host.encode_sample_rgb(raw, w, h, 4, alpha=True)
+    out, s = intra_host.decode_sample_rgb(sample)
+    assert s.encoded_format == 4 and s.num_channels == 4
+    # the reference reads b64a without byte-swapping; compare in its view
+    a = np.frombuffer(raw, "<u2").reshape(h, w, 4).astype(float)
+    b = np.frombuffer(out, "<u2").reshape(h, w, 4).astype(float)
+    psnr = 10 * np.log10(65535.0 ** 2 / np.mean((a - b) ** 2))
+    assert psnr > 35, psnr

@@ -155,6 +155,59 @@ static int do_encode_yu64(int w, int h, int quality, int pattern, const char *pa
     return 0;
 }
 
+static int do_encode_rg48(int w, int h, int quality, int pattern, const char *path,
+                          int alpha /* 0: RG48->RGB444, 1: B64A->RGBA4444 */)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(
+        enc, w, h,
+        alpha ? CFHD_PIXEL_FORMAT_B64A : CFHD_PIXEL_FORMAT_RG48,
+        alpha ? CFHD_ENCODED_FORMAT_RGBA_4444 : CFHD_ENCODED_FORMAT_RGB_444,
+        CFHD_ENCODING_FLAGS_NONE, (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    int ncomp = alpha ? 4 : 3;
+    uint16_t *buf = (uint16_t *)malloc((size_t)w * h * ncomp * 2);
+    uint32_t seed = 0xABCDEu + (uint32_t)pattern;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            uint32_t rnd = xs32(&seed);
+            int r = ((x * 23 + y * 7) << 4) & 0xFFFF;
+            int g = ((x * 11 + y * 17) << 4) & 0xFFFF;
+            int b = ((x * 5 + y * 31) << 4) & 0xFFFF;
+            if (pattern > 0) {
+                r = (r + (int)(rnd & 1023)) & 0xFFFF;
+                g = (g + (int)((rnd >> 10) & 1023)) & 0xFFFF;
+                b = (b + (int)((rnd >> 20) & 1023)) & 0xFFFF;
+            }
+            uint16_t *p = buf + ((size_t)y * w + x) * ncomp;
+            if (alpha) {            /* b64a: big-endian ARGB 16-bit */
+                uint16_t a16 = (uint16_t)(0xFFFF - ((x + y) & 0xFF));
+                p[0] = (uint16_t)((a16 >> 8) | (a16 << 8));
+                p[1] = (uint16_t)((r >> 8) | (r << 8));
+                p[2] = (uint16_t)((g >> 8) | (g << 8));
+                p[3] = (uint16_t)((b >> 8) | (b << 8));
+            } else {                /* RG48: RGB 16-bit little-endian */
+                p[0] = (uint16_t)r;
+                p[1] = (uint16_t)g;
+                p[2] = (uint16_t)b;
+            }
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, w * ncomp * 2);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "%s encoded %dx%d q=%d -> %zu bytes\n",
+            alpha ? "b64a" : "rg48", w, h, quality, size);
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
 static int do_encode_gop(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -357,6 +410,12 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_rg48"))
+        return do_encode_rg48(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6], 0);
+    if (argc >= 7 && !strcmp(argv[1], "encode_b64a"))
+        return do_encode_rg48(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6], 1);
     if (argc >= 7 && !strcmp(argv[1], "encode_gop"))
         return do_encode_gop(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), argv[6]);
