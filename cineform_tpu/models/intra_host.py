@@ -280,6 +280,61 @@ def encode_sample_rgb(frame: bytes, width: int, height: int, quality: int,
                         quality_high=qhigh)
 
 
+def encode_sample_bayer(frame: bytes, width: int, height: int, quality: int,
+                        bayer_format: int = 0, frame_number: int = 1,
+                        metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode a BYR4 16-bit Bayer mosaic (ENCODED_FORMAT_BAYER).
+
+    width/height are the mosaic dimensions; channels are quarter-res.
+    Byte-exact vs the reference (tests/test_formats.py).
+    """
+    planes = xf.unpack_byr4(frame, width, height, bayer_format)
+    # the encoder forces rgb_quality=3 for Bayer (`encoder.c:2637`)
+    params = IntraParams(width=width // 2, height=height // 2, quality=quality,
+                         precision=tags.PRECISION_12BIT, chroma_full_res=True,
+                         rgb_quality=3)
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=104,  # COLOR_FORMAT_BYR4
+                        encoded_format=tags.ENCODED_FORMAT_BAYER,
+                        colorspace=None)
+
+
+def decode_sample_bayer(sample: bytes) -> tuple[np.ndarray, object]:
+    """Decode a Bayer sample to quarter-res linear RGB (simple develop:
+    un-difference the channels, invert the LOG-90 curve; full demosaic to
+    mosaic resolution lives in models/demosaic.py)."""
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    planes = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        ll = c.lowpass
+        for k in (2, 1):
+            ll = xf.dwt2d_inverse(ll, bands[k][1], bands[k][2], bands[k][3],
+                                  2 if prescale[k] == 2 else 1)
+        plane = xf.dwt2d_inverse(ll, bands[0][1], bands[0][2], bands[0][3], 1)
+        planes.append(plane)
+    g = np.clip(planes[0], 0, 4095)
+    r = np.clip(((planes[1] - 2048) << 1) + g, 0, 4095)
+    b = np.clip(((planes[2] - 2048) << 1) + g, 0, 4095)
+    # invert LOG-90: lin = (90**(x/4095) - 1) / 89, back to 12-bit linear
+    curve = xf.byr4_log90_curve()
+    inv = np.zeros(4096, np.int64)
+    idx14 = np.arange(1 << 14)
+    np.maximum.at(inv, np.clip(curve, 0, 4095), idx14 >> 2)
+    rgb = np.stack([inv[r], inv[g], inv[b]], axis=-1)
+    return np.clip(rgb, 0, 4095).astype(np.uint16), s
+
+
 def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
     """Decode an RGB 4:4:4 / RGBA 4:4:4:4 sample back to RG48 / b64a bytes
     (16-bit components; alpha step curve inverted)."""

@@ -416,3 +416,51 @@ def unpack_b64a(raw: bytes | np.ndarray, width: int, height: int) -> list[np.nda
     a = a >> 4
     a = np.where((a > 0) & (a < 4095), ((a * 223 + 128) >> 8) + 256, a)
     return [g >> 4, r >> 4, b >> 4, a]
+
+
+def byr4_log90_curve() -> np.ndarray:
+    """The default BYR4 encode curve (LOG 90): 14-bit linear -> 12-bit log.
+
+    `Codec/frame.c:5218-5237` BYR4_LOGTABLE with MAX_INPUT_PRECISION=14
+    (`frame.c:4843`); float32 division and final multiply match the
+    reference build bit for bit.
+    """
+    i = np.arange(1 << 14)
+    x = i.astype(np.float32) / np.float32(16384.0)
+    l2l = (np.log10(x.astype(np.float64) * 89.0 + 1.0)
+           / np.log10(90.0)).astype(np.float32)
+    return np.where(i == 0, 0, (l2l * np.float32(4095.0)).astype(np.int64))
+
+
+def unpack_byr4(raw: bytes | np.ndarray, width: int, height: int,
+                bayer_format: int = 0) -> list[np.ndarray]:
+    """BYR4 (16-bit Bayer mosaic) -> quarter-res 12-bit planes
+    [G, RG, BG, DG] (`ConvertBYR4ToFrame16s`, `Codec/frame.c:4993`):
+
+        G  = (g1 + g2) >> 1
+        RG = ((r - G) >> 1) + 2048
+        BG = ((b - G) >> 1) + 2048
+        DG = (g1 - g2 + 4096) >> 1
+
+    after the LOG-90 encode curve (values indexed at 14-bit precision).
+    bayer_format: CFHD_BAYER_FORMAT_* (0 = RED_GRN: rows R G / G B).
+    """
+    arr = (np.frombuffer(raw, dtype="<u2") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    mosaic = arr.reshape(height, width).astype(np.int64) >> 2
+    m = byr4_log90_curve()[mosaic]
+    q00, q01 = m[0::2, 0::2], m[0::2, 1::2]
+    q10, q11 = m[1::2, 0::2], m[1::2, 1::2]
+    if bayer_format == 0:      # RED_GRN
+        r, g1, g2, b = q00, q01, q10, q11
+    elif bayer_format == 1:    # GRN_RED
+        g1, r, b, g2 = q00, q01, q10, q11
+    elif bayer_format == 2:    # BLU_GRN
+        b, g1, g2, r = q00, q01, q10, q11
+    else:                      # GRN_BLU
+        g1, b, r, g2 = q00, q01, q10, q11
+    g = (g1 + g2) >> 1
+    rg = ((r - g) >> 1) + 2048
+    bg = ((b - g) >> 1) + 2048
+    dg = (g1 - g2 + 4096) >> 1
+    return [p.astype(_I32) for p in (g, rg, bg, dg)]

@@ -41,7 +41,8 @@ QUANT_VSCALE_SHIFT = 8      # `Codec/quantize.c:107`
 
 def quality_tables(quality: int, precision: int, gop_length: int = 1,
                    progressive: bool = True, chroma_full_res: bool = False,
-                   fs_rate_limiter: int | None = None) -> tuple[list[int], list[int]]:
+                   fs_rate_limiter: int | None = None,
+                   rgb_quality: int = 0) -> tuple[list[int], list[int]]:
     """17-entry (luma, chroma) quant tables after QuantizationSetQuality.
 
     quality: CFHD_ENCODING_QUALITY_* numeric (1=low .. 6=filmscan3).
@@ -92,7 +93,8 @@ def quality_tables(quality: int, precision: int, gop_length: int = 1,
         for i in range(4, 7):
             luma[i] *= 4
             chroma[i] *= 4
-        chromagain = 8  # rgb_quality 0 default (`quantize.c:1197`)
+        # chromagain by CFEncode_RGB_Quality bits (`quantize.c:1195-1200`)
+        chromagain = {0: 8, 1: 6, 2: 4, 3: 4}[rgb_quality & 3]
         for i in range(11, 17):
             luma[i] *= 4
             chroma[i] *= chromagain
@@ -129,7 +131,8 @@ def spatial_band_scales(num_spatial: int = 2) -> list[list[int]]:
 
 def intra_band_quant(quality: int, precision: int, channel: int,
                      num_spatial: int = 2,
-                     chroma_full_res: bool = False) -> list[tuple[int, int, int]]:
+                     chroma_full_res: bool = False,
+                     rgb_quality: int = 0) -> list[tuple[int, int, int]]:
     """Per-wavelet (q_lh, q_hl, q_hh) quantizers for the intra transform,
     wavelet index 0 (finest, the frame wavelet) first.
 
@@ -141,7 +144,8 @@ def intra_band_quant(quality: int, precision: int, channel: int,
           quant = table[subband]  (scale not applied)
     """
     luma, chroma = quality_tables(quality, precision,
-                                  chroma_full_res=chroma_full_res)
+                                  chroma_full_res=chroma_full_res,
+                                  rgb_quality=rgb_quality)
     table = chroma if channel > 0 else luma
     scales = spatial_band_scales(num_spatial)
 
@@ -190,6 +194,7 @@ class IntraParams:
     precision: int = tags.PRECISION_10BIT
     num_spatial: int = 2
     chroma_full_res: bool = False
+    rgb_quality: int = 0
 
     @property
     def num_wavelets(self) -> int:
@@ -197,7 +202,8 @@ class IntraParams:
 
     def band_quant(self, channel: int) -> list[tuple[int, int, int]]:
         return intra_band_quant(self.quality, self.precision, channel,
-                                self.num_spatial, self.chroma_full_res)
+                                self.num_spatial, self.chroma_full_res,
+                                self.rgb_quality)
 
     @property
     def prescale(self) -> list[int]:

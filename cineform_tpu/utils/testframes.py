@@ -120,3 +120,14 @@ def b64a_frame(width: int, height: int, pattern: int = 0) -> bytes:
     a = (0xFFFF - ((xg + yg) & 0xFF)) & 0xFFFF
     argb = np.stack([a, rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]], axis=-1)
     return argb.astype(">u2").tobytes()
+
+
+def byr4_frame(width: int, height: int, pattern: int = 0) -> bytes:
+    """Deterministic BYR4 mosaic (matches probe do_encode_byr4)."""
+    xg, yg = np.meshgrid(np.arange(width), np.arange(height))
+    v = ((xg * 9 + yg * 13) << 5) & 0xFFFF
+    if pattern > 0:
+        s = _xorshift32_stream(0xBEEF0 + pattern, height * width).reshape(
+            height, width).astype(np.int64)
+        v = (v + (s & 2047)) & 0xFFFF
+    return v.astype("<u2").tobytes()

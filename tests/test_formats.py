@@ -112,3 +112,23 @@ def test_rgba_roundtrip_alpha_extremes():
     b = np.frombuffer(out, "<u2").reshape(h, w, 4).astype(float)
     psnr = 10 * np.log10(65535.0 ** 2 / np.mean((a - b) ** 2))
     assert psnr > 35, psnr
+
+
+def test_byr4_encode_byte_exact():
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.utils.testframes import byr4_frame
+
+    gold = _golden("byr4_320x240_q4_p1.cfhd")
+    meta = _metadata_from(gold)
+    mine = intra_host.encode_sample_bayer(byr4_frame(320, 240, 1), 320, 240, 4,
+                                          frame_number=1, metadata=meta)
+    assert mine == gold
+
+
+def test_byr4_decode_linear_rgb():
+    from cineform_tpu.models import intra_host
+
+    rgb, s = intra_host.decode_sample_bayer(_golden("byr4_320x240_q4_p1.cfhd"))
+    assert s.encoded_format == 2
+    assert rgb.shape == (120, 160, 3)
+    assert rgb.max() > 1024  # linear values restored from the log curve

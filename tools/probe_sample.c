@@ -208,6 +208,39 @@ static int do_encode_rg48(int w, int h, int quality, int pattern, const char *pa
     return 0;
 }
 
+static int do_encode_byr4(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_BYR4,
+                                          CFHD_ENCODED_FORMAT_BAYER,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    /* Bayer mosaic, 16-bit per photosite: row pairs R G / G B */
+    uint16_t *buf = (uint16_t *)malloc((size_t)w * h * 2);
+    uint32_t seed = 0xBEEF0u + (uint32_t)pattern;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            uint32_t rnd = xs32(&seed);
+            int v = ((x * 9 + y * 13) << 5) & 0xFFFF;
+            if (pattern > 0) v = (v + (int)(rnd & 2047)) & 0xFFFF;
+            buf[(size_t)y * w + x] = (uint16_t)v;
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, w * 2);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "byr4 encoded %dx%d q=%d -> %zu bytes\n", w, h, quality, size);
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
 static int do_encode_gop(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -410,6 +443,9 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_byr4"))
+        return do_encode_byr4(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6]);
     if (argc >= 7 && !strcmp(argv[1], "encode_rg48"))
         return do_encode_rg48(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6], 0);
