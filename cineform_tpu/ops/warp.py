@@ -1,0 +1,120 @@
+"""GeoMesh lens/360 warp engine as a JAX resampler (WarpLib equivalent).
+
+The reference (`WarpLib/GeoMesh.h:112-199`) builds a sparse mesh of source
+coordinates per destination grid point (fisheye<->rectilinear, stereographic
+defish, equirectangular repointing, rotation), caches it, and applies it
+with bilinear sampling (`WarpLib/GeoMeshApply.c`).
+
+Here the mesh is a dense (H, W, 2) source-coordinate field computed with
+vectorized math (cheap at build time, cached by the caller), and apply is a
+batched bilinear gather — the natural TPU formulation of
+`geomesh_apply_bilinear`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Mesh builders (geomesh_transform_* equivalents, WarpLib/GeoMeshTransform.c)
+# ---------------------------------------------------------------------------
+
+def mesh_identity(h: int, w: int) -> np.ndarray:
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    return np.stack([yy, xx], axis=-1)
+
+
+def mesh_rotate(h: int, w: int, degrees: float) -> np.ndarray:
+    """In-plane rotation about the image center (geomesh_transform_rotate)."""
+    t = math.radians(degrees)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    m = mesh_identity(h, w)
+    y = m[..., 0] - cy
+    x = m[..., 1] - cx
+    ys = y * math.cos(t) - x * math.sin(t) + cy
+    xs = y * math.sin(t) + x * math.cos(t) + cx
+    return np.stack([ys, xs], axis=-1).astype(np.float32)
+
+
+def mesh_defish(h: int, w: int, fov_degrees: float = 120.0,
+                strength: float = 1.0) -> np.ndarray:
+    """Fisheye -> rectilinear correction (geomesh_transform_defish,
+    `WarpLib/GeoMeshTransform.c`): map each rectilinear destination ray back
+    to the equidistant-fisheye source radius."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    half_fov = math.radians(fov_degrees) / 2.0
+    m = mesh_identity(h, w)
+    y = (m[..., 0] - cy) / cx
+    x = (m[..., 1] - cx) / cx
+    r = np.sqrt(x * x + y * y)
+    r = np.where(r < 1e-6, 1e-6, r)
+    theta = np.arctan(r * math.tan(half_fov))      # rectilinear ray angle
+    r_src = theta / half_fov                        # equidistant fisheye
+    scale = 1.0 + strength * (r_src / r - 1.0)
+    ys = y * scale * cx + cy
+    xs = x * scale * cx + cx
+    return np.stack([ys, xs], axis=-1).astype(np.float32)
+
+
+def mesh_repoint_equirect(h: int, w: int, yaw: float = 0.0,
+                          pitch: float = 0.0) -> np.ndarray:
+    """Equirectangular repointing (geomesh_transform_repoint): rotate the
+    viewing sphere by yaw/pitch degrees."""
+    yawr, pitchr = math.radians(yaw), math.radians(pitch)
+    m = mesh_identity(h, w)
+    lon = (m[..., 1] / (w - 1) - 0.5) * 2 * math.pi
+    lat = (0.5 - m[..., 0] / (h - 1)) * math.pi
+    # unit vector
+    cx = np.cos(lat) * np.sin(lon)
+    cyv = np.sin(lat)
+    cz = np.cos(lat) * np.cos(lon)
+    # pitch about x then yaw about y
+    y2 = cyv * math.cos(pitchr) - cz * math.sin(pitchr)
+    z2 = cyv * math.sin(pitchr) + cz * math.cos(pitchr)
+    x3 = cx * math.cos(yawr) + z2 * math.sin(yawr)
+    z3 = -cx * math.sin(yawr) + z2 * math.cos(yawr)
+    lon2 = np.arctan2(x3, z3)
+    lat2 = np.arcsin(np.clip(y2, -1, 1))
+    ys = (0.5 - lat2 / math.pi) * (h - 1)
+    xs = (lon2 / (2 * math.pi) + 0.5) * (w - 1)
+    return np.stack([ys, xs], axis=-1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Apply (geomesh_apply_bilinear equivalent)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("wrap_x",))
+def warp_bilinear(image: jnp.ndarray, mesh: jnp.ndarray,
+                  wrap_x: bool = False) -> jnp.ndarray:
+    """Bilinear resample: image (..., H, W, C) by mesh (H', W', 2) source
+    coordinates (y, x).  wrap_x wraps horizontally (360 content)."""
+    h, w = image.shape[-3], image.shape[-2]
+    ys, xs = mesh[..., 0], mesh[..., 1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[..., None]
+    fx = (xs - x0)[..., None]
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0i = x0.astype(jnp.int32)
+    if wrap_x:
+        x0i = jnp.mod(x0i, w)
+        x1 = jnp.mod(x0i + 1, w)
+    else:
+        x0i = jnp.clip(x0i, 0, w - 1)
+        x1 = jnp.clip(x0i + 1, 0, w - 1)
+    p00 = image[..., y0, x0i, :]
+    p01 = image[..., y0, x1, :]
+    p10 = image[..., y1, x0i, :]
+    p11 = image[..., y1, x1, :]
+    top = p00 * (1 - fx) + p01 * fx
+    bot = p10 * (1 - fx) + p11 * fx
+    return top * (1 - fy) + bot * fy
