@@ -342,3 +342,51 @@ def CFHD_CreateEncoderPool(thread_count: int, queue_length: int):
     from cineform_tpu.pool import EncoderPool
 
     return EncoderPool(thread_count, queue_length)
+
+
+class StereoEncoder:
+    """Dual-channel stereoscopic 3D encoder.
+
+    The open-source reference encodes stereo as per-eye CFHD samples with
+    shared metadata (TAG_VIDEO_CHANNELS 'VCHN' = 2, eye selection by
+    TAG_CHANNEL_QUALITY / track order; `Codec/encoder.c:2102-2107`
+    video_channels).  This wrapper mirrors that: one Encoder per eye plus
+    the 3D metadata block on every sample.
+    """
+
+    class _StereoMetadata:
+        """Global metadata block plus the 3D channel-count tuple."""
+
+        def block(self) -> bytes:
+            from cineform_tpu import metadata as md
+            from cineform_tpu.models.intra_host import EncoderMetadata
+
+            extra = md.Metadata().add("VCHN", 2, typ=md.TYPE_HIDDEN)
+            return EncoderMetadata().block() + extra.block()
+
+    def __init__(self) -> None:
+        self._eyes = (Encoder(), Encoder())
+        self._md = self._StereoMetadata()
+
+    def prepare_to_encode(self, width: int, height: int,
+                          pixel_format: PixelFormat,
+                          encoded_format: EncodedFormat = EncodedFormat.YUV_422,
+                          quality: EncodingQuality = EncodingQuality.FILMSCAN1,
+                          ) -> None:
+        for e in self._eyes:
+            e.prepare_to_encode(width, height, pixel_format, encoded_format,
+                                EncodingFlags.NONE, quality)
+            e.attach_metadata(self._md)
+
+    def encode_sample(self, left: bytes | np.ndarray,
+                      right: bytes | np.ndarray) -> tuple[bytes, bytes]:
+        """Encode one stereo pair; returns (left_sample, right_sample)."""
+        out = []
+        for eye, frame in zip(self._eyes, (left, right)):
+            eye.encode_sample(frame)
+            out.append(eye.get_sample_data())
+        return tuple(out)
+
+    def close(self) -> None:
+        for e in self._eyes:
+            e.close()

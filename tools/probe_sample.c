@@ -208,6 +208,45 @@ static int do_encode_rg48(int w, int h, int quality, int pattern, const char *pa
     return 0;
 }
 
+static int do_encode_3d(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+
+    CFHD_MetadataRef meta = NULL;
+    CFHD_MetadataOpen(&meta);
+    uint32_t channels = 2;
+    /* TAG_VIDEO_CHANNELS 'VCHN', type 'H' (hidden long) */
+    CFHD_MetadataAdd(meta, ('V'<<24)|('C'<<16)|('H'<<8)|'N',
+                     (CFHD_MetadataType)'H', 4, &channels, false);
+    CFHD_MetadataAttach(enc, meta);
+
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    for (int i = 0; i < 2; i++) {
+        fill_yuy2(frame, w, h, pattern + i);
+        err = CFHD_EncodeSample(enc, frame, w * 2);
+        void *sample = NULL; size_t size = 0;
+        CFHD_Error gerr = CFHD_GetSampleData(enc, &sample, &size);
+        fprintf(stderr, "eye %d: encode=%d getdata=%d size=%zu\n", i, err, gerr, size);
+        if (gerr == 0 && size > 0) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.e%d", path, i);
+            FILE *f = fopen(name, "wb");
+            fwrite(sample, 1, size, f);
+            fclose(f);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 static int do_encode_byr4(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -443,6 +482,9 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_3d"))
+        return do_encode_3d(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                            atoi(argv[5]), argv[6]);
     if (argc >= 7 && !strcmp(argv[1], "encode_byr4"))
         return do_encode_byr4(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
