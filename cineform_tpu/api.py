@@ -138,11 +138,11 @@ class SampleInfo:
 class Encoder:
     """Synchronous sample encoder (`EncoderSDK/SampleEncoder.cpp:115-620`)."""
 
-    INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.V210, PixelFormat.YU64,
-                     PixelFormat.RG48, PixelFormat.B64A)
+    INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.V210,
+                     PixelFormat.YU64, PixelFormat.RG48, PixelFormat.B64A)
     # internal COLOR_FORMAT codes written into the INPUT_FORMAT tag
-    _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.V210: 10,
-                           PixelFormat.YU64: 12}
+    _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.UYVY: 1,
+                           PixelFormat.V210: 10, PixelFormat.YU64: 12}
 
     def __init__(self) -> None:
         self._prepared = False
@@ -191,7 +191,7 @@ class Encoder:
 
         if not self._prepared:
             raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
-        if self.pixel_format == PixelFormat.YUY2:
+        if self.pixel_format in (PixelFormat.YUY2, PixelFormat.UYVY):
             row_bytes = 2 * self.width
         elif self.pixel_format == PixelFormat.V210:
             row_bytes = ((self.width + 47) // 48) * 128
@@ -222,6 +222,8 @@ class Encoder:
             if self.pixel_format == PixelFormat.V210:
                 planes = xf.unpack_v210(buf.tobytes(), self.width, self.height,
                                         pitch=row_bytes)
+            elif self.pixel_format == PixelFormat.UYVY:
+                planes = xf.unpack_uyvy(buf.tobytes(), self.width, self.height)
             else:
                 planes = xf.unpack_yu64(buf.tobytes(), self.width, self.height)
             self._sample = intra_host.encode_sample_planes(

@@ -67,6 +67,20 @@ def unpack_yuy2(raw: bytes | np.ndarray, width: int, height: int,
     return [y, v, u]
 
 
+def unpack_uyvy(raw: bytes | np.ndarray, width: int, height: int,
+                precision: int = 10) -> list[np.ndarray]:
+    """2vuy/UYVY bytes (U Y0 V Y1) -> [Y, Cr, Cb] planes like unpack_yuy2
+    (`UnpackRowYUV16s` UYVY branch, `Codec/convert.c:5310+`)."""
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    quad = arr.reshape(height, width // 2, 4).astype(_I32)
+    shift = precision - 8
+    y = quad[:, :, [1, 3]].reshape(height, width) << shift
+    u = quad[:, :, 0] << shift
+    v = quad[:, :, 2] << shift
+    return [y, v, u]
+
+
 def unpack_yu64(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
     """YU64 (16-bit 4:2:2, per pixel pair [Y0, C1, Y1, C2]) -> 10-bit planes.
 

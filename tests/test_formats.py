@@ -132,3 +132,20 @@ def test_byr4_decode_linear_rgb():
     assert s.encoded_format == 2
     assert rgb.shape == (120, 160, 3)
     assert rgb.max() > 1024  # linear values restored from the log curve
+
+
+def test_uyvy_encode_byte_exact():
+    import numpy as np
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    gold = _golden("uyvy_320x240_q4_p1.cfhd")
+    meta = _metadata_from(gold)
+    # convert the deterministic YUY2 frame to UYVY byte order
+    raw = np.frombuffer(yuy2_frame(320, 240, 1), np.uint8).reshape(-1, 4)
+    uyvy = raw[:, [1, 0, 3, 2]].tobytes()
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.UYVY,
+                          quality=api.EncodingQuality.FILMSCAN1)
+    enc.attach_metadata(meta)
+    enc.encode_sample(uyvy)
+    assert enc.get_sample_data() == gold

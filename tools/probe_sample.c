@@ -311,6 +311,35 @@ static int do_encode_gop(int w, int h, int quality, int pattern, const char *pat
     return 0;
 }
 
+static int do_encode_uyvy(int w, int h, int quality, int pattern, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_2VUY,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    fill_yuy2(frame, w, h, pattern);
+    /* convert YUY2 -> UYVY byte order (U Y0 V Y1) */
+    for (size_t i = 0; i < (size_t)w * h * 2; i += 4) {
+        uint8_t y0 = frame[i], u = frame[i+1], y1 = frame[i+2], v = frame[i+3];
+        frame[i] = u; frame[i+1] = y0; frame[i+2] = v; frame[i+3] = y1;
+    }
+    err = CFHD_EncodeSample(enc, frame, w * 2);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "uyvy encoded %dx%d -> %zu bytes\n", w, h, size);
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 static int do_encode(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -482,6 +511,9 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode"))
         return do_encode(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                          atoi(argv[5]), argv[6]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_uyvy"))
+        return do_encode_uyvy(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                              atoi(argv[5]), argv[6]);
     if (argc >= 7 && !strcmp(argv[1], "encode_3d"))
         return do_encode_3d(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                             atoi(argv[5]), argv[6]);
