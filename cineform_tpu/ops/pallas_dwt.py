@@ -50,6 +50,17 @@ def _h26(x, prescale: int):
     pairs = x.reshape(shp)
     even = jnp.squeeze(pairs[..., 0:1], -1)
     odd = jnp.squeeze(pairs[..., 1:2], -1)
+    return _h26_pairs(even, odd, prescale)
+
+
+def _h26_pairs(even, odd, prescale: int):
+    """Horizontal 2-6 from pre-deinterleaved even/odd columns.
+
+    The lane-axis pair reshape in `_h26` is rejected by this environment's
+    Mosaic compiler, so device kernels take the columns already split
+    (a cheap strided slice in the XLA wrapper) and use only lane-local
+    shifted slices here.
+    """
     if prescale:
         r = (1 << prescale) - 1
         pe = (even + r) >> prescale
