@@ -24,9 +24,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from cineform_tpu.models import intra_host
 from cineform_tpu.ops import intra_transform as ops
 from cineform_tpu.spec.production import IntraParams, intra_prescale
+
+
+@lru_cache(maxsize=16)
+def _dither_planes(height: int, width: int):
+    """Reference-exact output dither planes (luma, chroma) for frame 0 of a
+    decoder process (glibc rand stream; see ref/intra.decode_dither_rows).
+    Returned as uint8 numpy, folded into the traced program as constants."""
+    from cineform_tpu.ref import intra as xf
+
+    rows = xf.decode_dither_rows(height)
+    return (xf.decode_dither_plane(rows, width).astype(np.uint8),
+            xf.decode_dither_plane(rows, width // 2).astype(np.uint8))
 
 
 @dataclass(frozen=True)
@@ -76,11 +90,17 @@ class IntraCodec:
 
     @partial(jax.jit, static_argnums=0)
     def inverse(self, coeffs):
-        """Per-channel (lowpass, bands) -> (B, H, 2W) uint8 YUY2 frames."""
+        """Per-channel (lowpass, bands) -> (B, H, 2W) uint8 YUY2 frames.
+
+        Applies the reference decoder's output dither (byte-exact for the
+        first frame of a decode process)."""
         p = self.params
         prescale = p.prescale
-        planes = [ops.inverse_channel_to_8bit(lowpass, bands, prescale)
-                  for lowpass, bands in coeffs]
+        dy, dc = _dither_planes(self.height, self.width)
+        planes = [ops.inverse_channel_to_8bit(
+            lowpass, bands, prescale,
+            dither=jnp.asarray(dy if ch == 0 else dc, jnp.int32))
+            for ch, (lowpass, bands) in enumerate(coeffs)]
         return ops.pack_yuy2(*planes)
 
     # --- full encode/decode (device transform + host entropy) ----------------

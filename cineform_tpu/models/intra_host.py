@@ -372,12 +372,18 @@ def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
     return out.astype("<u2").tobytes(), s
 
 
-def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:
-    """Decode a CFHD intra sample to YUY2 bytes. Returns (yuy2, parsed)."""
+def decode_sample(sample: bytes, dither: bool = True) -> tuple[bytes, object]:
+    """Decode a CFHD intra sample to YUY2 bytes. Returns (yuy2, parsed).
+
+    With dither=True (default) the output replicates the reference
+    decoder's random output dither byte-exactly (glibc rand stream, see
+    ref/intra.decode_dither_rows); dither=False rounds deterministically
+    (same ±1 band)."""
     from cineform_tpu.entropy import native as entropy_native
 
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
+    row_draws = None
     planes = []
     for c in s.channels:
         bands: list[dict] = [dict() for _ in range(3)]
@@ -388,7 +394,10 @@ def decode_sample(sample: bytes, dither: bool = False) -> tuple[bytes, object]:
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        planes.append(xf.inverse_channel_to_8bit(c.lowpass, wb, prescale))
+        if dither and row_draws is None:
+            row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8)
+        planes.append(xf.inverse_channel_to_8bit(
+            c.lowpass, wb, prescale, dither=row_draws if dither else None))
     return xf.pack_yuy2(*planes), s
 
 

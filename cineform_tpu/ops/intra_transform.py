@@ -217,23 +217,32 @@ def h26_inverse(low: jnp.ndarray, high: jnp.ndarray, descale: int = 1) -> jnp.nd
 
 
 def h26_inverse_to_output(low: jnp.ndarray, high: jnp.ndarray,
-                          descale_shift: int = 2) -> jnp.ndarray:
+                          descale_shift: int = 2,
+                          dither: jnp.ndarray | None = None) -> jnp.ndarray:
     """Final horizontal inverse fused with 8-bit output conversion
-    (`InvertHorizontalStrip16sToYUYV`): interior clamps to >= 0 before >>1
-    (the +2048 usub trick); borders shift arithmetically; dither omitted
-    (the reference adds a {0,1} random dither here)."""
+    (`InvertHorizontalStrip16s.c:3770`), byte-exact vs the reference:
+    interior (max(6tap±high, 0) + 3 + 2*dither) >> 3 with dither in {0,1}
+    (ref/intra.decode_dither_rows replicates the reference's glibc rand
+    stream); borders (6tap±high + 3) >> 3, undithered."""
+    total = descale_shift + 1
+    bias = (1 << (total - 1)) - 1
     te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
     to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
-    even_i = (jnp.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0) >> 1) >> descale_shift
-    odd_i = (jnp.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0) >> 1) >> descale_shift
+    v2e = jnp.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
+    v2o = jnp.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
+    if dither is not None:
+        v2e = v2e + 2 * dither[..., 0::2][..., 1:-1]
+        v2o = v2o + 2 * dither[..., 1::2][..., 1:-1]
+    even_i = (v2e + bias) >> total
+    odd_i = (v2o + bias) >> total
     t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
     t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
-    even_f = (((t0e + high[..., 0]) >> 1) >> descale_shift)[..., None]
-    odd_f = (((t0o - high[..., 0]) >> 1) >> descale_shift)[..., None]
+    even_f = ((t0e + high[..., 0] + bias) >> total)[..., None]
+    odd_f = ((t0o - high[..., 0] + bias) >> total)[..., None]
     tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
     tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
-    even_l = (((tke + high[..., -1]) >> 1) >> descale_shift)[..., None]
-    odd_l = (((tko - high[..., -1]) >> 1) >> descale_shift)[..., None]
+    even_l = ((tke + high[..., -1] + bias) >> total)[..., None]
+    odd_l = ((tko - high[..., -1] + bias) >> total)[..., None]
     even = jnp.concatenate([even_f, even_i, even_l], -1)
     odd = jnp.concatenate([odd_f, odd_i, odd_l], -1)
     out = _interleave(even, odd)
@@ -246,7 +255,7 @@ def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1) -> jnp.ndarray:
     return h26_inverse(low, high, descale)
 
 
-def inverse_channel_to_8bit(lowpass, bands, prescale):
+def inverse_channel_to_8bit(lowpass, bands, prescale, dither=None):
     """Full 3-level inverse producing the 8-bit output plane."""
     ll = lowpass
     for k in (2, 1):
@@ -255,7 +264,7 @@ def inverse_channel_to_8bit(lowpass, bands, prescale):
     lh, hl, hh = bands[0]
     low = v26_inverse(ll, hl)
     high = v26_inverse(lh, hh)
-    return h26_inverse_to_output(low, high)
+    return h26_inverse_to_output(low, high, dither=dither)
 
 
 # ---------------------------------------------------------------------------

@@ -320,31 +320,37 @@ def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
     """Final horizontal inverse fused with conversion to 8-bit output.
 
     Contract: `InvertHorizontalStrip16sToYUYV`
-    (`Codec/InvertHorizontalStrip16s.c:3770`):
-      border pairs:  ((6tap+4)>>3 ± high) >> 1, arithmetic >>descale_shift;
-      interior:      ((l[k-1]-l[k+1]+4)>>3 + l[k] ± h[k]), clamped to >= 0
-                     (the +2048 adds/subs_epu16 trick), >> 1, plus optional
-                     {0,1} dither, logical >> descale_shift;
+    (`Codec/InvertHorizontalStrip16s.c:3770`), pinned empirically against
+    the reference binary (byte-exact with `decode_dither_rows`):
+      border pairs:   ((6tap+4)>>3 ± high + 3) >> 3, no dither;
+      interior:       (max((l[k-1]-l[k+1]+4)>>3 + l[k] ± h[k], 0)
+                       + 3 + 2*dither) >> 3, dither in {0,1} drawn from
+                      glibc rand() (see decode_dither_rows);
       final pack saturates to [0, 255].
+    (descale_shift kept for API compatibility; the production YUY2 decode
+    path is precision 10 -> shift 2, i.e. a total >>3 with the >>1.)
     """
     low, high = low.astype(_I32), high.astype(_I32)
     te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
     to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
-    even_i = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0) >> 1
-    odd_i = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0) >> 1
+    v2e = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
+    v2o = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
+    total = descale_shift + 1
+    bias = (1 << (total - 1)) - 1  # 3 for the 10-bit path (total >> 3)
     if dither is not None:
-        even_i = even_i + dither[..., 0::2][..., 1:-1]
-        odd_i = odd_i + dither[..., 1::2][..., 1:-1]
-    even_i >>= descale_shift
-    odd_i >>= descale_shift
+        even_i = (v2e + bias + 2 * dither[..., 0::2][..., 1:-1]) >> total
+        odd_i = (v2o + bias + 2 * dither[..., 1::2][..., 1:-1]) >> total
+    else:
+        even_i = (v2e + bias) >> total
+        odd_i = (v2o + bias) >> total
     t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
     t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
-    even_f = ((t0e + high[..., 0]) >> 1) >> descale_shift
-    odd_f = ((t0o - high[..., 0]) >> 1) >> descale_shift
+    even_f = (t0e + high[..., 0] + bias) >> total
+    odd_f = (t0o - high[..., 0] + bias) >> total
     tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
     tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
-    even_l = ((tke + high[..., -1]) >> 1) >> descale_shift
-    odd_l = ((tko - high[..., -1]) >> 1) >> descale_shift
+    even_l = (tke + high[..., -1] + bias) >> total
+    odd_l = (tko - high[..., -1] + bias) >> total
     even = np.concatenate([even_f[..., None], even_i, even_l[..., None]], -1)
     odd = np.concatenate([odd_f[..., None], odd_i, odd_l[..., None]], -1)
     h, half = low.shape
@@ -352,6 +358,42 @@ def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
     out[:, 0::2] = even
     out[:, 1::2] = odd
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def decode_dither_rows(height: int) -> np.ndarray:
+    """Per-row output dither vectors replicating the reference decoder.
+
+    `InvertHorizontalStrip16sToYUYV` draws 16 `rand()&1` bits per output
+    row (two 8-lane SSE rounding vectors, InvertHorizontalStrip16s.c:3869)
+    from glibc's default-seed rand().  The decoder emits the two border
+    strips first, so the draw blocks land on rows in the order
+    [0, 1, H-2, H-1, 2, 3, ..., H-3] (pinned against the reference binary).
+    Returns (height, 16) bits; lanes 0-7 = rounding1, 8-15 = rounding2.
+    """
+    from cineform_tpu.utils.glibc_random import glibc_rand_sequence
+
+    draws = (glibc_rand_sequence(16 * height) & 1).reshape(height, 16)
+    row_draws = np.empty((height, 16), dtype=np.int64)
+    order = [0, 1, height - 2, height - 1] + list(range(2, height - 2))
+    for blk, r in enumerate(order):
+        row_draws[r] = draws[blk]
+    return row_draws
+
+
+def decode_dither_plane(row_draws: np.ndarray, width: int) -> np.ndarray:
+    """Expand per-row 16-bit dither vectors to a (H, width) channel plane.
+
+    Output column c >= 2 takes lane (c-2)%8 of rounding1 when
+    ((c-2)//8)%2 == 0 else of rounding2 (the SSE groups alternate
+    rounding1/rounding2 every 8 outputs); the four border columns are
+    undithered.  Y, U and V share the same row vectors.
+    """
+    h = row_draws.shape[0]
+    d = np.zeros((h, width), dtype=np.int64)
+    m = np.arange(width - 4)
+    lane = m % 8 + 8 * ((m // 8) % 2)
+    d[:, 2:-2] = row_draws[:, lane]
+    return d
 
 
 # ---------------------------------------------------------------------------
@@ -385,11 +427,18 @@ def inverse_channel_to_16s(lowpass: np.ndarray, bands, prescale) -> np.ndarray:
 
 def inverse_channel_to_8bit(lowpass, bands, prescale, descale_shift=2,
                             dither=None):
-    """Full inverse for one channel producing the 8-bit output plane."""
+    """Full inverse for one channel producing the 8-bit output plane.
+
+    `dither` is either None, a precomputed (H, W) plane, or the (H, 16)
+    row-draw matrix from `decode_dither_rows` (expanded per channel
+    width here).
+    """
     ll = inverse_channel_to_16s(lowpass, bands, prescale)
     lh, hl, hh = bands[0]
     low = v26_inverse(ll, hl)
     high = v26_inverse(lh, hh)
+    if dither is not None and dither.shape[-1] == 16:
+        dither = decode_dither_plane(dither, low.shape[-1] * 2)
     return h26_inverse_to_output(low, high, descale_shift, dither)
 
 

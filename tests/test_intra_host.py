@@ -64,16 +64,23 @@ def test_encode_byte_exact(name, w, h, q, p):
     assert mine == gold
 
 
-@pytest.mark.parametrize("name,w,h,q,p", CONFIGS[:3])
-def test_decode_matches_reference_within_dither(name, w, h, q, p):
-    gold_yuv = np.frombuffer(_golden(name, "yuy2"), dtype=np.uint8).astype(int)
+@pytest.mark.parametrize("name,w,h,q,p", CONFIGS)
+def test_decode_byte_exact(name, w, h, q, p):
+    """Byte-exact decode: the reference's {0,1} random output dither
+    (InvertHorizontalStrip16sToYUYV, InvertHorizontalStrip16s.c:3883) is
+    replicated from the glibc rand stream (ref/intra.decode_dither_rows)."""
+    gold_yuv = _golden(name, "yuy2")
     out, parsed = intra_host.decode_sample(_golden(name, "cfhd"))
-    mine = np.frombuffer(out, dtype=np.uint8).astype(int)
     assert parsed.width == w and parsed.height == h
-    assert len(mine) == len(gold_yuv)
+    assert out == gold_yuv
+
+
+@pytest.mark.parametrize("name,w,h,q,p", CONFIGS[:3])
+def test_decode_undithered_within_dither(name, w, h, q, p):
+    gold_yuv = np.frombuffer(_golden(name, "yuy2"), dtype=np.uint8).astype(int)
+    out, _ = intra_host.decode_sample(_golden(name, "cfhd"), dither=False)
+    mine = np.frombuffer(out, dtype=np.uint8).astype(int)
     diff = np.abs(mine - gold_yuv)
-    # The reference's 16s->8u conversion adds a {0,1} random dither
-    # (InvertHorizontalStrip16sToYUYV, InvertHorizontalStrip16s.c:3883).
     assert diff.max() <= 1
     assert (diff == 0).mean() > 0.40
 
