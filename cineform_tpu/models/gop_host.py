@@ -5,11 +5,18 @@ Decode contract: `Codec/decoder.c:11180` DecodeSampleGroup with the
 layout captured from the reference (SAMPLE=2 header, 6 wavelets, the
 temporal wavelet's empty band entry with subband 255, GROUP trailer).
 
-The group encode is functionally compatible (the reference SDK decodes our
-groups) but not yet byte-exact: the reference's fused first-level GOP
-kernel (`TransformForwardFrameYUVThreaded`, `encoder.c:12247`) rounds its
-highpass bands slightly differently than the plain frame-wavelet math;
-its exact semantics are a TODO.
+Group encode is BYTE-EXACT vs the reference encoder: for progressive
+input the level-1 wavelets are spatial (encoder.c:9504), the temporal-high
+LL (subband 7) is stored as an uncompressed big-endian 16-bit band
+(BAND_ENCODING_16BIT) followed by the band-end codeword, and everything
+else shares the intra machinery.
+
+Group decode replicates the reference's full-res behavior (both frames
+reconstructed from w0 + the temporal lowpass, see
+ref/gop.inverse_channel_gop) byte-exactly for all output rows except the
+bottom ~14, where the reference's bottom-strip kernel
+(`InvertSpatialBottomRow16s`, spatial.c:16101) reconstructs the
+intermediate levels' borders differently (round-2 TODO).
 """
 
 from __future__ import annotations
@@ -40,23 +47,49 @@ for _sb in (14, 15, 16):
     SUBBAND_MAP[_sb] = (0, _sb - 14)
 
 
-def decode_group(sample: bytes) -> tuple[bytes, bytes]:
-    """Decode one GROUP sample into two YUY2 frames."""
+def _bandend_marker(codeset: int = 17) -> bytes:
+    """The band-end codeword, MSB-aligned and zero-padded to 32 bits (what
+    the reference emits after an uncompressed 16-bit band)."""
+    from cineform_tpu.spec import codebooks as cb
+
+    cs = cb.get_codeset(codeset)
+    word = cs.bandend_bits << (32 - cs.bandend_size)
+    return word.to_bytes(4, "big")
+
+
+def decode_group(sample: bytes, reference_compatible: bool = True,
+                 dither: bool = True) -> tuple[bytes, bytes]:
+    """Decode one GROUP sample into two YUY2 frames.
+
+    reference_compatible=True replicates the reference decoder (both
+    frames from w0 + the temporal lowpass, differing only in output
+    dither); False uses w1 for a true frame-1 reconstruction (higher
+    fidelity than the reference's own full-res group decode)."""
     s = parse_sample(sample)
     frames0 = []
     frames1 = []
+    d0 = xf.decode_dither_rows(s.height, 0) if dither else None
+    d1 = xf.decode_dither_rows(s.height, 1) if dither else None
     for c in s.channels:
         bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
         for b in c.bands:
             if b.subband == 255 or b.subband == 0:
                 continue
             widx, slot = SUBBAND_MAP[b.subband]
+            if getattr(b, "encoding", tags.BAND_ENCODING_RUNLENGTHS) == \
+                    tags.BAND_ENCODING_16BIT:
+                raw = np.frombuffer(b.data[:b.width * b.height * 2], ">i2")
+                bands[widx][slot] = raw.reshape(b.height, b.width).astype(
+                    np.int32) * b.quantization
+                continue
             pitchw = align16_pixels(b.width)
             vals, _ = entropy_native.decode_band(
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][slot] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
-        f0, f1 = gxf.inverse_channel_gop(c.lowpass, wb)
+        f0, f1 = gxf.inverse_channel_gop(
+            c.lowpass, wb, reference_compatible=reference_compatible,
+            dither0=d0, dither1=d1)
         frames0.append(f0)
         frames1.append(f1)
     return xf.pack_yuy2(*frames0), xf.pack_yuy2(*frames1)
@@ -84,9 +117,21 @@ def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
                  height: int, quality: int, frame_number: int = 1,
                  metadata: EncoderMetadata | None = None) -> bytes:
     """Encode two YUY2 frames into one CFHD GROUP sample."""
-    params = IntraParams(width=width, height=height, quality=quality)
     f0 = xf.unpack_yuy2(frame0_yuy2, width, height)
     f1 = xf.unpack_yuy2(frame1_yuy2, width, height)
+    channels = []
+    for ch in range(3):
+        bq = gxf.fieldplus_band_quant(quality, tags.PRECISION_10BIT, ch)
+        lowpass, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq)
+        channels.append((lowpass, bands, bq))
+    return write_group(channels, width, height, quality, frame_number,
+                       metadata)
+
+
+def write_group(channels, width: int, height: int, quality: int,
+                frame_number: int = 1,
+                metadata: EncoderMetadata | None = None) -> bytes:
+    """Assemble a GROUP sample from per-channel (lowpass, bands, quants)."""
     scales = gxf.fieldplus_band_scales()
     prescale = gxf.FIELDPLUS_PRESCALE
 
@@ -130,8 +175,7 @@ def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
             w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_CHANNEL)
             w.put_tag(tags.CHANNEL, ch)
         start = len(w.buf)
-        bq = gxf.fieldplus_band_quant(quality, tags.PRECISION_10BIT, ch)
-        lowpass, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq)
+        lowpass, bands, bq = channels[ch]
 
         # lowpass band (subband 0)
         w.put_marker(tags.LOWPASS_START_CODE)
@@ -150,7 +194,8 @@ def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
         w.put_marker(tags.LOWPASS_END_CODE)
         w.pop_chunk()
 
-        def put_band(band_number, subband, vals, quant, scale, coding_flags=1):
+        def put_band(band_number, subband, vals, quant, scale, coding_flags=1,
+                     encoding=tags.BAND_ENCODING_RUNLENGTHS):
             bh, bw = vals.shape
             w.put_marker(tags.BAND_START_CODE)
             w.put_tag(tags.BAND_NUMBER, band_number)
@@ -158,12 +203,19 @@ def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
             w.put_tag(tags.BAND_WIDTH, bw)
             w.put_tag(tags.BAND_HEIGHT, bh)
             w.put_tag(tags.BAND_SUBBAND, subband)
-            w.put_tag(tags.BAND_ENCODING, tags.BAND_ENCODING_RUNLENGTHS)
+            w.put_tag(tags.BAND_ENCODING, encoding)
             w.put_tag(tags.BAND_QUANTIZATION, quant)
             w.put_tag(tags.BAND_SCALE, scale)
             w.push_chunk(tags.SUBBAND_SIZE)
             w.put_tag(tags.BAND_HEADER, 0)
-            w.put_bytes(intra_host.encode_band_payload(vals))
+            if encoding == tags.BAND_ENCODING_16BIT:
+                # raw big-endian coefficients + the codeset band-end marker
+                # (the temporal-high LL, subband 7, is stored uncompressed:
+                # EncodeBand... BAND_ENCODING_16BIT path)
+                w.put_bytes(np.asarray(vals, dtype=">i2").tobytes())
+                w.put_bytes(_bandend_marker())
+            else:
+                w.put_bytes(intra_host.encode_band_payload(vals))
             w.pad_to_tag()
             w.put_tag(tags.BAND_TRAILER, 0)
             w.pop_chunk()
@@ -202,12 +254,16 @@ def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
         bh, bw = bands[3][0].shape
         wavelet_header(tags.WAVELET_TYPE_SPATIAL, 4, 3, 4, bw, bh, scales[3][0])
         for i in range(4):
-            put_band(i, i + 7, bands[3][i], bq[3][i], scales[3][i] if i else scales[3][0] // 1)
+            put_band(i, i + 7, bands[3][i], bq[3][i],
+                     scales[3][i] if i else scales[3][0] // 1,
+                     encoding=(tags.BAND_ENCODING_16BIT if i == 0 else
+                               tags.BAND_ENCODING_RUNLENGTHS))
         wavelet_trailer()
         # w2 (number 3, level 2): temporal, one empty band entry (the
         # temporal bands are rebuilt from w3/w4 on decode; the reference
         # still emits a placeholder band with subband 255 and no payload)
-        th, tw = f0[ch].shape[0] // 2, f0[ch].shape[1] // 2
+        chan_w = width if ch == 0 else width // 2
+        th, tw = height // 2, chan_w // 2
         wavelet_header(tags.WAVELET_TYPE_TEMPORAL, 3, 2, 2, tw, th, scales[2][0])
         w.put_marker(tags.BAND_START_CODE)
         w.put_tag(tags.BAND_NUMBER, 1)

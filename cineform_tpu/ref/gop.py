@@ -3,9 +3,12 @@
 Wavelet forest per channel (`Codec/encoder.c:8431` FinishFieldPlusTransformQuant,
 layout documented in SURVEY §3.3b; progressive input):
 
-  w[0], w[1]  HORZTEMP frame wavelets of frames 0/1: 2-2 Haar between row
-              pairs, then horizontal 2-6 on the temporal low/high rows
-              (`Codec/filter.c:273` FilterFrameQuant16s)
+  w[0], w[1]  level-1 wavelets of frames 0/1.  For PROGRESSIVE input these
+              are plain SPATIAL 2-6 wavelets of each frame (the stream
+              still labels them HORZTEMP; `Codec/encoder.c:9504` "frame
+              transform (interlaced) or spatial transform (progressive)").
+              The HORZTEMP math (`Codec/filter.c:273`) applies only to
+              interlaced input (frame_wavelet_forward below).
   w[2]        2-2 temporal between w[0].LL and w[1].LL (not entropy coded;
               an empty band entry is emitted, subband 255)
   w[3]        spatial 2-6 of w[2].high; ALL FOUR bands coded (subbands
@@ -103,14 +106,22 @@ def frame_wavelet_inverse(ll, lh, hl, hh) -> np.ndarray:
 
 
 def forward_channel_gop(frame0: np.ndarray, frame1: np.ndarray,
-                        band_quant: dict):
+                        band_quant: dict, progressive: bool = True):
     """Full FIELDPLUS forward for one channel.
 
     Returns (lowpass, bands) where bands[k] holds the coded bands of
     wavelet k: w0/w1/w4/w5 -> (LH, HL, HH); w3 -> (LL, LH, HL, HH).
+
+    progressive=True (the default, matching SAMPLE_FLAGS_PROGRESSIVE):
+    w0/w1 are spatial 2-6 wavelets of each frame; False uses the
+    interlaced HORZTEMP frame wavelet.
     """
-    ll0, b0 = frame_wavelet_forward(frame0, band_quant[0])
-    ll1, b1 = frame_wavelet_forward(frame1, band_quant[1])
+    if progressive:
+        ll0, b0 = xf.dwt2d_forward(frame0.astype(np.int32), 0, band_quant[0])
+        ll1, b1 = xf.dwt2d_forward(frame1.astype(np.int32), 0, band_quant[1])
+    else:
+        ll0, b0 = frame_wavelet_forward(frame0, band_quant[0])
+        ll1, b1 = frame_wavelet_forward(frame1, band_quant[1])
     tlow = xf.sat16(ll0.astype(np.int32) + ll1)
     thigh = xf.sat16(ll1.astype(np.int32) - ll0)
     # w3: spatial of temporal high; LL coded with quantizer 1
@@ -123,23 +134,43 @@ def forward_channel_gop(frame0: np.ndarray, frame1: np.ndarray,
     return ll5, {0: b0, 1: b1, 3: w3, 4: w4, 5: w5}
 
 
-def inverse_channel_gop(lowpass, bands, to8bit: bool = True):
+def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
+                        reference_compatible: bool = True,
+                        dither0=None, dither1=None):
     """Full FIELDPLUS inverse for one channel -> (frame0, frame1).
 
-    bands values must already be dequantized.  The final 8-bit conversion
-    mirrors the intra output stage: descale >> 2, clamp.
+    bands values must already be dequantized.
+
+    reference_compatible=True replicates the reference decoder's full-res
+    group decode (pinned against the binary): BOTH output frames are the
+    spatial inverse of (w0.LL reconstructed as (tlow - thigh) >> 1, w0's
+    highpass bands) through the intra fused output stage — w1's coded
+    bands are never read, so the two frames differ only by the decoder's
+    output dither (frame 2 consumes the next 16*H rand draws).
+
+    reference_compatible=False is our higher-fidelity extension: frame 1
+    is reconstructed from its own LL ((tlow + thigh) >> 1) and w1's bands.
     """
     ll4 = xf.dwt2d_inverse(lowpass, *bands[5], descale=1)
     tlow = xf.dwt2d_inverse(ll4, *bands[4], descale=2)
     ll3 = bands[3][0]
     thigh = xf.dwt2d_inverse(ll3, *bands[3][1:], descale=1)
-    ll0 = xf.sat16(_div2_trunc(tlow.astype(np.int32) - thigh))
-    ll1 = xf.sat16(_div2_trunc(tlow.astype(np.int32) + thigh))
-    f0 = frame_wavelet_inverse(ll0, *bands[0])
-    f1 = frame_wavelet_inverse(ll1, *bands[1])
-    if to8bit:
-        # final 10-bit -> 8-bit output (`InvertInterlacedRow16s10bitToYUV`:
-        # >> PRESCALE_V210_OUTPUT then clamp to [0, 255])
-        f0 = np.clip(f0 >> 2, 0, 255).astype(np.uint8)
-        f1 = np.clip(f1 >> 2, 0, 255).astype(np.uint8)
+    ll0 = xf.sat16((tlow.astype(np.int64) - thigh) >> 1)
+
+    def final(llf, wbands, dither):
+        lh, hl, hh = wbands
+        low = xf.v26_inverse(llf, hl)
+        high = xf.v26_inverse(lh, hh)
+        if not to8bit:
+            return xf.h26_inverse(low, high, descale=1)
+        if dither is not None and dither.shape[-1] == 16:
+            dither = xf.decode_dither_plane(dither, low.shape[-1] * 2)
+        return xf.h26_inverse_to_output(low, high, 2, dither)
+
+    f0 = final(ll0, bands[0], dither0)
+    if reference_compatible:
+        f1 = final(ll0, bands[0], dither1)
+    else:
+        ll1 = xf.sat16((tlow.astype(np.int64) + thigh) >> 1)
+        f1 = final(ll1, bands[1], dither1)
     return f0, f1

@@ -360,7 +360,7 @@ def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-def decode_dither_rows(height: int) -> np.ndarray:
+def decode_dither_rows(height: int, frame_index: int = 0) -> np.ndarray:
     """Per-row output dither vectors replicating the reference decoder.
 
     `InvertHorizontalStrip16sToYUYV` draws 16 `rand()&1` bits per output
@@ -369,10 +369,13 @@ def decode_dither_rows(height: int) -> np.ndarray:
     strips first, so the draw blocks land on rows in the order
     [0, 1, H-2, H-1, 2, 3, ..., H-3] (pinned against the reference binary).
     Returns (height, 16) bits; lanes 0-7 = rounding1, 8-15 = rounding2.
+    frame_index selects the draw window for the n-th decoded frame of one
+    decoder process (GOP groups decode two frames back to back).
     """
     from cineform_tpu.utils.glibc_random import glibc_rand_sequence
 
-    draws = (glibc_rand_sequence(16 * height) & 1).reshape(height, 16)
+    draws = (glibc_rand_sequence(16 * height * (frame_index + 1)) & 1)
+    draws = draws[16 * height * frame_index:].reshape(height, 16)
     row_draws = np.empty((height, 16), dtype=np.int64)
     order = [0, 1, height - 2, height - 1] + list(range(2, height - 2))
     for blk, r in enumerate(order):

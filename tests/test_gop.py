@@ -2,11 +2,12 @@
 
 Golden data from the reference SDK (tools/probe_sample.c encode_gop /
 decode_gop).  Gates:
-- the lowpass chain and subbands 1-6, 8-10 of our forward transform are
-  bit-exact vs the reference encoder's bitstream;
-- our group decode matches the reference decoder closely (the reference's
-  fused GOP kernels round the frame-wavelet highpass slightly differently;
-  byte-exact GOP encode is a known TODO, see models/gop_host.py);
+- group ENCODE is byte-exact vs the reference encoder (progressive
+  level-1 spatial wavelets; the temporal-high LL stored as an
+  uncompressed 16-bit band, see models/gop_host.py);
+- group DECODE replicates the reference decoder byte-exactly for all
+  output rows except the bottom 14 (its bottom-strip kernel
+  reconstructs intermediate-level borders differently; round-2 TODO);
 - roundtrip self-consistency and reference-SDK interop for our samples.
 """
 
@@ -16,16 +17,15 @@ import numpy as np
 import pytest
 
 from cineform_tpu.bitstream import parse_sample
-from cineform_tpu.entropy import native as entropy_native
-from cineform_tpu.models import gop_host
-from cineform_tpu.models.gop_host import SUBBAND_MAP
-from cineform_tpu.models.intra_host import align16_pixels
-from cineform_tpu.ref import gop as gxf
-from cineform_tpu.ref import intra as xf
-from cineform_tpu.spec import codebooks as cb
+from cineform_tpu.models import gop_host, intra_host
 from cineform_tpu.utils.testframes import yuy2_frame
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "samples")
+
+GOLDENS = [
+    ("gop_320x240_q4_p1", 1, 2),
+    ("gop2_320x240_q4_p100", 100, 100),
+]
 
 
 def _golden(name: str) -> bytes:
@@ -33,50 +33,69 @@ def _golden(name: str) -> bytes:
         return f.read()
 
 
-def _codes_of(vals: np.ndarray) -> np.ndarray:
-    ct = cb.cubic_compand_table()
-    expand = np.array([cb.expand_code(c, 4) for c in range(1100)])
-    mc = np.clip(vals, -1023, 1023)
-    return np.sign(mc) * expand[ct[np.minimum(np.abs(mc), 1024)]]
+def _metadata_from(gold: bytes) -> intra_host.EncoderMetadata:
+    blob = parse_sample(gold).metadata[0]
+    vals = {}
+    pos = 0
+    while pos + 8 <= len(blob):
+        four = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 7], "little")
+        vals[four.decode()] = blob[pos + 8:pos + 8 + size]
+        pos += 8 + size + ((-size) % 4)
+    return intra_host.EncoderMetadata(
+        guid=vals["GUID"],
+        date=vals["DATE"].rstrip(b"\0").decode(),
+        time=vals["TIME"].rstrip(b"\0").decode(),
+        timecode=vals["TIMC"].rstrip(b"\0").decode(),
+        unique_frame=int.from_bytes(vals["UFRM"], "little"),
+    )
 
 
-def test_gop_forward_exact_subbands():
-    """Lowpass + subbands 1-6 and 8-10 must match the reference bitstream."""
-    w, h = 320, 240
-    f0 = xf.unpack_yuy2(yuy2_frame(w, h, 1), w, h)
-    f1 = xf.unpack_yuy2(yuy2_frame(w, h, 2), w, h)
-    s = parse_sample(_golden("gop_320x240_q4_p1.cfhd.f1"))
-    assert s.num_subbands == 17 and s.num_wavelets == 6
-    exact_sbs = {1, 2, 3, 4, 5, 6, 8, 9, 10}
-    for ch in range(3):
-        bq = gxf.fieldplus_band_quant(4, 10, ch)
-        ll, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq)
-        assert np.array_equal(ll, s.channels[ch].lowpass)
-        for b in s.channels[ch].bands:
-            if b.subband not in exact_sbs:
-                continue
-            widx, slot = SUBBAND_MAP[b.subband]
-            pitchw = align16_pixels(b.width)
-            ref, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=1)
-            ref = ref.reshape(b.height, pitchw)[:, :b.width]
-            assert np.array_equal(_codes_of(bands[widx][slot]), ref), b.subband
+@pytest.mark.parametrize("name,p0,p1", GOLDENS)
+def test_gop_encode_byte_exact(name, p0, p1):
+    gold = _golden(name + ".cfhd.f1")
+    mine = gop_host.encode_group(yuy2_frame(320, 240, p0),
+                                 yuy2_frame(320, 240, p1),
+                                 320, 240, 4, 1, _metadata_from(gold))
+    assert mine == gold
 
 
-def test_gop_decode_close_to_reference():
-    data = _golden("gop2_320x240_q4_p100.cfhd.f1")
+@pytest.mark.parametrize("name,p0,p1", GOLDENS)
+def test_gop_decode_byte_exact_above_bottom_strip(name, p0, p1):
+    data = _golden(name + ".cfhd.f1")
     f0, f1 = gop_host.decode_group(data)
     for i, mine in enumerate([f0, f1]):
-        gold = np.frombuffer(_golden(f"gop2_320x240_q4_p100.f{i}.yuy2"),
-                             np.uint8).astype(float)
-        a = np.frombuffer(mine, np.uint8).astype(float)
-        diff = np.abs(a - gold)
-        # The reference's fused GOP inverse kernels round borders and the
-        # near-saturation luma range differently (known TODO); the bulk of
-        # the image matches within the 1-bit dither.
-        assert (diff <= 1).mean() > 0.80
-        psnr = 10 * np.log10(255 ** 2 / np.mean(diff ** 2))
-        assert psnr > 30, psnr
+        gold = np.frombuffer(_golden(f"{name}.f{i}.yuy2"),
+                             np.uint8).reshape(240, 640).astype(int)
+        a = np.frombuffer(mine, np.uint8).reshape(240, 640).astype(int)
+        # rows 0..225: byte-exact (incl. the replicated output dither)
+        assert (a[:226] == gold[:226]).all()
+        # bottom strip: reference's InvertSpatialBottomRow16s variant TODO
+        assert (a[226:] == gold[226:]).mean() > 0.25
+
+
+def test_gop_sequence_header_byte_exact():
+    gold = _golden("gop_320x240_q4_p1.cfhd.f0")
+    assert gop_host.sequence_header(320, 240) == gold
+
+
+def test_gop_true_decode_uses_w1():
+    """Our reference_compatible=False extension reconstructs frame 1 from
+    its own wavelet; for distinct frames the two outputs must differ more
+    than by dither, and fidelity to the true frame 1 must improve."""
+    w, h = 320, 240
+    raw0, raw1 = yuy2_frame(w, h, 1), yuy2_frame(w, h, 2)
+    group = gop_host.encode_group(raw0, raw1, w, h, 4)
+    c0, c1 = gop_host.decode_group(group, reference_compatible=True)
+    t0, t1 = gop_host.decode_group(group, reference_compatible=False)
+    assert t0 == c0  # frame 0 identical in both modes
+    a1 = np.frombuffer(raw1, np.uint8).astype(float)
+
+    def psnr(buf):
+        b = np.frombuffer(buf, np.uint8).astype(float)
+        return 10 * np.log10(255 ** 2 / np.mean((a1 - b) ** 2))
+
+    assert psnr(t1) > psnr(c1) + 3  # true decode is materially closer
 
 
 def test_gop_roundtrip_self_consistent():
@@ -114,14 +133,14 @@ def test_reference_decodes_our_group():
         r = subprocess.run([REFBIN, "decode_gop", sp, gp, out],
                            capture_output=True)
         assert r.returncode == 0, r.stderr
-        # Frame 1's gate is lower: the reference decoder reconstructs the
-        # second GOP frame from the coarsely quantized temporal highpass and
-        # measures ~19 dB against the source even for its own encodes of
-        # noisy content (same measurement on the gop_320x240_q4_p1 golden).
-        gates = (30, 18)
-        for i, raw in enumerate((raw0, raw1)):
-            dec = open(f"{out}.f{i}.yuy2", "rb").read()
-            a = np.frombuffer(raw, np.uint8).astype(float)
-            b = np.frombuffer(dec, np.uint8).astype(float)
-            psnr = 10 * np.log10(255 ** 2 / np.mean((a - b) ** 2))
-            assert psnr > gates[i], (i, psnr)
+        # The reference's full-res group decode returns frame 0's
+        # reconstruction for BOTH frames (see models/gop_host.py): frame 0
+        # gates against its source, frame 1 against frame 0's output.
+        d0 = np.frombuffer(open(f"{out}.f0.yuy2", "rb").read(),
+                           np.uint8).astype(float)
+        d1 = np.frombuffer(open(f"{out}.f1.yuy2", "rb").read(),
+                           np.uint8).astype(float)
+        a = np.frombuffer(raw0, np.uint8).astype(float)
+        psnr = 10 * np.log10(255 ** 2 / np.mean((a - d0) ** 2))
+        assert psnr > 28, psnr
+        assert np.abs(d0 - d1).max() <= 1  # differ only by output dither

@@ -311,6 +311,40 @@ static int do_encode_gop(int w, int h, int quality, int pattern, const char *pat
     return 0;
 }
 
+/* Encode a 2-frame GOP from two raw YUY2 files (frame-pair probing). */
+static int do_encode_gop_files(int w, int h, int quality, const char *in0,
+                               const char *in1, const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    const char *ins[2] = { in0, in1 };
+    for (int i = 0; i < 2; i++) {
+        FILE *f = fopen(ins[i], "rb");
+        if (!f || fread(frame, 1, (size_t)w * h * 2, f) != (size_t)w * h * 2)
+            return 1;
+        fclose(f);
+        err = CFHD_EncodeSample(enc, frame, w * 2);
+        void *sample = NULL; size_t size = 0;
+        CFHD_Error gerr = CFHD_GetSampleData(enc, &sample, &size);
+        if (gerr == 0 && size > 0) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d", path, i);
+            FILE *g = fopen(name, "wb");
+            fwrite(sample, 1, size, g);
+            fclose(g);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 static int do_encode_uyvy(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -529,6 +563,9 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode_gop"))
         return do_encode_gop(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), argv[6]);
+    if (argc >= 8 && !strcmp(argv[1], "encode_gop_files"))
+        return do_encode_gop_files(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                                   argv[5], argv[6], argv[7]);
     if (argc >= 7 && !strcmp(argv[1], "encode_v210"))
         return do_encode_v210(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
