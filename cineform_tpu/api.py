@@ -76,6 +76,10 @@ class PixelFormat(enum.IntEnum):
     BYR5 = _fourcc("BYR5")
     DPX0 = _fourcc("DPX0")
     R210 = _fourcc("r210")
+    RG30 = _fourcc("RG30")
+    AB10 = _fourcc("AB10")
+    AR10 = _fourcc("AR10")
+    RG64 = _fourcc("RG64")
 
 
 class EncodedFormat(enum.IntEnum):
@@ -139,7 +143,11 @@ class Encoder:
     """Synchronous sample encoder (`EncoderSDK/SampleEncoder.cpp:115-620`)."""
 
     INPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.V210,
-                     PixelFormat.YU64, PixelFormat.RG48, PixelFormat.B64A)
+                     PixelFormat.YU64, PixelFormat.RG48, PixelFormat.B64A,
+                     PixelFormat.R210, PixelFormat.DPX0, PixelFormat.RG30,
+                     PixelFormat.AB10, PixelFormat.AR10, PixelFormat.BGRA,
+                     PixelFormat.RG24, PixelFormat.RG64, PixelFormat.BYR4,
+                     PixelFormat.BYR5)
     # internal COLOR_FORMAT codes written into the INPUT_FORMAT tag
     _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.UYVY: 1,
                            PixelFormat.V210: 10, PixelFormat.YU64: 12}
@@ -163,11 +171,20 @@ class Encoder:
                           ) -> None:
         if pixel_format not in self.INPUT_FORMATS:
             raise CFHDError(ErrorCode.BADFORMAT, f"{pixel_format!r}")
-        rgb_ok = (pixel_format == PixelFormat.RG48
-                  and encoded_format == EncodedFormat.RGB_444) or (
-                  pixel_format == PixelFormat.B64A
-                  and encoded_format == EncodedFormat.RGBA_4444)
-        if encoded_format != EncodedFormat.YUV_422 and not rgb_ok:
+        rgb444 = (PixelFormat.RG48, PixelFormat.R210, PixelFormat.DPX0,
+                  PixelFormat.RG30, PixelFormat.AB10, PixelFormat.AR10,
+                  PixelFormat.BGRA, PixelFormat.RG24)
+        rgba = (PixelFormat.B64A, PixelFormat.RG64)
+        bayer = (PixelFormat.BYR4, PixelFormat.BYR5)
+        # RGB/RGBA/Bayer inputs imply their natural encoded format (the
+        # reference maps them the same way in CFHD_PrepareToEncode)
+        ok = (encoded_format == EncodedFormat.YUV_422
+              and pixel_format not in rgb444 + rgba + bayer) or \
+             (encoded_format == EncodedFormat.RGB_444 and pixel_format in rgb444) or \
+             (encoded_format == EncodedFormat.RGBA_4444 and pixel_format in rgba) or \
+             (encoded_format == EncodedFormat.BAYER and pixel_format in bayer) or \
+             (encoded_format == EncodedFormat.YUV_422 and pixel_format in rgb444 + rgba + bayer)
+        if not ok:
             raise CFHDError(ErrorCode.BADFORMAT, f"{encoded_format!r}")
         if width % 16 or height % 8 or width < 32 or height < 48:
             # dims must survive 3 halvings with filter-legal extents
@@ -191,16 +208,19 @@ class Encoder:
 
         if not self._prepared:
             raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
-        if self.pixel_format in (PixelFormat.YUY2, PixelFormat.UYVY):
-            row_bytes = 2 * self.width
-        elif self.pixel_format == PixelFormat.V210:
-            row_bytes = ((self.width + 47) // 48) * 128
-        elif self.pixel_format == PixelFormat.RG48:
-            row_bytes = 6 * self.width
-        elif self.pixel_format == PixelFormat.B64A:
-            row_bytes = 8 * self.width
-        else:  # YU64
-            row_bytes = 4 * self.width
+        pf = PixelFormat
+        row_bytes = {
+            pf.YUY2: 2 * self.width, pf.UYVY: 2 * self.width,
+            pf.V210: ((self.width + 47) // 48) * 128,
+            pf.RG48: 6 * self.width, pf.B64A: 8 * self.width,
+            pf.YU64: 4 * self.width, pf.BYR4: 2 * self.width,
+            pf.BYR5: 3 * self.width // 2,
+            pf.BGRA: 4 * self.width, pf.RG24: 3 * self.width,
+            pf.RG64: 8 * self.width,
+            pf.R210: 4 * self.width, pf.DPX0: 4 * self.width,
+            pf.RG30: 4 * self.width, pf.AB10: 4 * self.width,
+            pf.AR10: 4 * self.width,
+        }[self.pixel_format]
         buf = (np.frombuffer(frame, dtype=np.uint8)
                if isinstance(frame, (bytes, bytearray)) else frame.view(np.uint8))
         if pitch is not None and pitch != row_bytes:
@@ -214,6 +234,30 @@ class Encoder:
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 alpha=(self.pixel_format == PixelFormat.B64A),
                 frame_number=self._frame_number, metadata=self._metadata)
+        elif self.pixel_format in (PixelFormat.R210, PixelFormat.DPX0,
+                                   PixelFormat.RG30, PixelFormat.AB10,
+                                   PixelFormat.AR10):
+            fourcc = {PixelFormat.R210: "r210", PixelFormat.DPX0: "DPX0",
+                      PixelFormat.RG30: "RG30", PixelFormat.AB10: "AB10",
+                      PixelFormat.AR10: "AR10"}[self.pixel_format]
+            self._sample = intra_host.encode_sample_rgb10(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                fourcc, frame_number=self._frame_number,
+                metadata=self._metadata)
+        elif self.pixel_format in (PixelFormat.BGRA, PixelFormat.RG24):
+            self._sample = intra_host.encode_sample_rgb8(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                "BGRA" if self.pixel_format == PixelFormat.BGRA else "RG24",
+                frame_number=self._frame_number, metadata=self._metadata)
+        elif self.pixel_format == PixelFormat.RG64:
+            self._sample = intra_host.encode_sample_rg64(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                frame_number=self._frame_number, metadata=self._metadata)
+        elif self.pixel_format in (PixelFormat.BYR4, PixelFormat.BYR5):
+            self._sample = intra_host.encode_sample_bayer(
+                buf.tobytes(), self.width, self.height, int(self.quality),
+                frame_number=self._frame_number, metadata=self._metadata,
+                packed=(self.pixel_format == PixelFormat.BYR5))
         elif self.pixel_format == PixelFormat.YUY2:
             self._sample = intra_host.encode_sample(
                 buf.tobytes(), self.width, self.height, int(self.quality),

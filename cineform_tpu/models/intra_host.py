@@ -280,22 +280,76 @@ def encode_sample_rgb(frame: bytes, width: int, height: int, quality: int,
                         quality_high=qhigh)
 
 
+def encode_sample_rgb10(frame: bytes, width: int, height: int, quality: int,
+                        fourcc: str, frame_number: int = 1,
+                        metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode packed 10-bit RGB (r210 / DPX0 / RG30 / AB10 / AR10) at
+    12-bit RGB 4:4:4, byte-exact vs the reference for all five layouts."""
+    planes = xf.unpack_rgb10(frame, width, height, fourcc)
+    params = IntraParams(width=width, height=height, quality=quality,
+                         precision=tags.PRECISION_12BIT, chroma_full_res=True)
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=xf.RGB10_INPUT_FORMATS[fourcc][0],
+                        encoded_format=tags.ENCODED_FORMAT_RGB_444,
+                        colorspace=None, quality_high=0)
+
+
+def encode_sample_rgb8(frame: bytes, width: int, height: int, quality: int,
+                       fourcc: str = "BGRA", frame_number: int = 1,
+                       metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode 8-bit RGB input (BGRA with alpha dropped, or RG24 BGR),
+    bottom-up rows, as 12-bit RGB 4:4:4; byte-exact vs the reference."""
+    if fourcc == "BGRA":
+        planes, input_format = xf.unpack_bgra(frame, width, height), 32
+    else:
+        planes, input_format = xf.unpack_rg24(frame, width, height), 7
+    params = IntraParams(width=width, height=height, quality=quality,
+                         precision=tags.PRECISION_12BIT, chroma_full_res=True)
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    # the reference writes QUALITY_H 0x09A0 for 8-bit RGB inputs
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=input_format,
+                        encoded_format=tags.ENCODED_FORMAT_RGB_444,
+                        colorspace=None, quality_high=0x09A0)
+
+
+def encode_sample_rg64(frame: bytes, width: int, height: int, quality: int,
+                       frame_number: int = 1,
+                       metadata: EncoderMetadata | None = None) -> bytes:
+    """Encode RG64 (16-bit RGBA little-endian) as RGBA 4:4:4:4,
+    byte-exact vs the reference (alpha gets the b64a companding curve)."""
+    planes = xf.unpack_rg64(frame, width, height)
+    params = IntraParams(width=width, height=height, quality=quality,
+                         precision=tags.PRECISION_12BIT, chroma_full_res=True)
+    channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
+    return write_sample(channels, params, frame_number, metadata,
+                        input_format=121,
+                        encoded_format=tags.ENCODED_FORMAT_RGBA_4444,
+                        colorspace=None, quality_high=0x2000)
+
+
 def encode_sample_bayer(frame: bytes, width: int, height: int, quality: int,
                         bayer_format: int = 0, frame_number: int = 1,
-                        metadata: EncoderMetadata | None = None) -> bytes:
-    """Encode a BYR4 16-bit Bayer mosaic (ENCODED_FORMAT_BAYER).
+                        metadata: EncoderMetadata | None = None,
+                        packed: bool = False) -> bytes:
+    """Encode a BYR4 (16-bit) or BYR5 (packed 12-bit) Bayer mosaic
+    (ENCODED_FORMAT_BAYER).
 
     width/height are the mosaic dimensions; channels are quarter-res.
     Byte-exact vs the reference (tests/test_formats.py).
     """
-    planes = xf.unpack_byr4(frame, width, height, bayer_format)
+    if packed:
+        planes = xf.unpack_byr5(frame, width, height, bayer_format)
+    else:
+        planes = xf.unpack_byr4(frame, width, height, bayer_format)
     # the encoder forces rgb_quality=3 for Bayer (`encoder.c:2637`)
     params = IntraParams(width=width // 2, height=height // 2, quality=quality,
                          precision=tags.PRECISION_12BIT, chroma_full_res=True,
                          rgb_quality=3)
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
     return write_sample(channels, params, frame_number, metadata,
-                        input_format=104,  # COLOR_FORMAT_BYR4
+                        input_format=105 if packed else 104,  # BYR5 / BYR4
                         encoded_format=tags.ENCODED_FORMAT_BAYER,
                         colorspace=None)
 

@@ -498,6 +498,109 @@ def byr4_log90_curve() -> np.ndarray:
     return np.where(i == 0, 0, (l2l * np.float32(4095.0)).astype(np.int64))
 
 
+RGB10_INPUT_FORMATS = {
+    # fourcc -> (INPUT_FORMAT code, byteswap, (r_shift, g_shift, b_shift))
+    "r210": (123, True, (20, 10, 0)),
+    "DPX0": (128, True, (22, 12, 2)),
+    "RG30": (122, False, (0, 10, 20)),
+    "AB10": (125, False, (0, 10, 20)),
+    "AR10": (124, False, (20, 10, 0)),
+}
+
+
+def unpack_rgb10(raw: bytes | np.ndarray, width: int, height: int,
+                 fourcc: str) -> list[np.ndarray]:
+    """Packed 10-bit RGB (r210/DPX0/RG30/AB10/AR10) -> 12-bit planes
+    [G, R, B] (`Codec/frame.c:6995` per-format component extraction:
+    r210/DPX0 byte-swap the 32-bit word; the component layouts are
+    r210=(r<<20|g<<10|b), DPX0=(r<<22|g<<12|b<<2), RG30/AB10=(b<<20|g<<10|r),
+    AR10=(r<<20|g<<10|b) little-endian)."""
+    _, swap, (rs, gs, bs) = RGB10_INPUT_FORMATS[fourcc]
+    arr = (np.frombuffer(raw, dtype="<u4") if isinstance(raw, (bytes, bytearray))
+           else raw)
+    w = arr.reshape(height, width).astype(np.int64)
+    if swap:
+        w = (((w & 0xFF) << 24) | ((w & 0xFF00) << 8)
+             | ((w >> 8) & 0xFF00) | (w >> 24))
+    r = (w >> rs) & 0x3FF
+    g = (w >> gs) & 0x3FF
+    b = (w >> bs) & 0x3FF
+    return [(g << 2).astype(_I32), (r << 2).astype(_I32),
+            (b << 2).astype(_I32)]
+
+
+def _alpha_companding(a12: np.ndarray) -> np.ndarray:
+    """Encode-side alpha step curve shared by b64a and RG64
+    (`Codec/frame.c:6699-6706`): extremes preserved exactly."""
+    return np.where((a12 > 0) & (a12 < 4095),
+                    ((a12 * 223 + 128) >> 8) + 256, a12).astype(_I32)
+
+
+def unpack_bgra(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """BGRA (8-bit, bottom-up rows like a Windows DIB) -> 12-bit planes
+    [G, R, B] (`ConvertBGRAToFrame16s`; alpha ignored for RGB 4:4:4)."""
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    px = arr.reshape(height, width, 4).astype(_I32)[::-1]
+    return [px[:, :, 1] << 4, px[:, :, 2] << 4, px[:, :, 0] << 4]
+
+
+def unpack_rg24(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """RG24 (8-bit BGR, bottom-up rows) -> 12-bit planes [G, R, B]."""
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    px = arr.reshape(height, width, 3).astype(_I32)[::-1]
+    return [px[:, :, 1] << 4, px[:, :, 2] << 4, px[:, :, 0] << 4]
+
+
+def unpack_rg64(raw: bytes | np.ndarray, width: int, height: int) -> list[np.ndarray]:
+    """RG64 (16-bit RGBA little-endian) -> 12-bit planes [G, R, B, A] with
+    the b64a alpha companding curve."""
+    arr = (np.frombuffer(raw, dtype="<u2")
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    px = arr.reshape(height, width, 4).astype(_I32)
+    return [px[:, :, 1] >> 4, px[:, :, 0] >> 4, px[:, :, 2] >> 4,
+            _alpha_companding(px[:, :, 3] >> 4)]
+
+
+def unpack_byr5(raw: bytes | np.ndarray, width: int, height: int,
+                bayer_format: int = 0) -> list[np.ndarray]:
+    """BYR5 (packed 12-bit Bayer: per quarter-res row, the four component
+    rows' high bytes then their 4-bit remainders two-per-byte, low nibble
+    first) -> quarter-res 12-bit planes [G, RG, BG, DG]
+    (`ConvertBYR5ToFrame16s`, `Codec/frame.c:5473`).  Linear (no LOG curve,
+    unlike BYR4):
+
+        G  = (g1 + g2) >> 1          RG = (r - G + 4096) >> 1
+        DG = (g1 - g2 + 4096) >> 1   BG = (b - G + 4096) >> 1
+    """
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    wc, hc = width // 2, height // 2
+    rowbytes = 4 * wc * 3 // 2
+    rows = arr[:rowbytes * hc].reshape(hc, rowbytes).astype(np.int64)
+    high = rows[:, :4 * wc]
+    nib = rows[:, 4 * wc:4 * wc + 2 * wc]
+    low = np.empty((hc, 4 * wc), np.int64)
+    low[:, 0::2] = nib & 0xF
+    low[:, 1::2] = (nib >> 4) & 0xF
+    v = (high << 4) | low
+    c = [v[:, i * wc:(i + 1) * wc] for i in range(4)]
+    if bayer_format == 0:      # RED_GRN
+        r, g1, g2, b = c
+    elif bayer_format == 1:    # GRN_RED
+        g1, r, b, g2 = c
+    elif bayer_format == 2:    # GRN_BLU
+        g1, b, r, g2 = c
+    else:                      # BLU_GRN
+        b, g1, g2, r = c
+    g = (g1 + g2) >> 1
+    rg = (r - g + 4096) >> 1
+    bg = (b - g + 4096) >> 1
+    dg = (g1 - g2 + 4096) >> 1
+    return [p.astype(_I32) for p in (g, rg, bg, dg)]
+
+
 def unpack_byr4(raw: bytes | np.ndarray, width: int, height: int,
                 bayer_format: int = 0) -> list[np.ndarray]:
     """BYR4 (16-bit Bayer mosaic) -> quarter-res 12-bit planes
@@ -521,10 +624,10 @@ def unpack_byr4(raw: bytes | np.ndarray, width: int, height: int,
         r, g1, g2, b = q00, q01, q10, q11
     elif bayer_format == 1:    # GRN_RED
         g1, r, b, g2 = q00, q01, q10, q11
-    elif bayer_format == 2:    # BLU_GRN
-        b, g1, g2, r = q00, q01, q10, q11
-    else:                      # GRN_BLU
+    elif bayer_format == 2:    # GRN_BLU
         g1, b, r, g2 = q00, q01, q10, q11
+    else:                      # BLU_GRN
+        b, g1, g2, r = q00, q01, q10, q11
     g = (g1 + g2) >> 1
     rg = ((r - g) >> 1) + 2048
     bg = ((b - g) >> 1) + 2048

@@ -60,7 +60,8 @@ def test_encoder_argument_errors():
     with pytest.raises(api.CFHDError):
         enc.prepare_to_encode(33, 17, api.PixelFormat.YUY2)
     with pytest.raises(api.CFHDError):
-        enc.prepare_to_encode(320, 240, api.PixelFormat.BGRA)
+        enc.prepare_to_encode(320, 240, api.PixelFormat.BGRA,
+                              encoded_format=api.EncodedFormat.RGBA_4444)
 
 
 def test_decoder_bad_sample():

@@ -208,6 +208,56 @@ static int do_encode_rg48(int w, int h, int quality, int pattern, const char *pa
     return 0;
 }
 
+/* Encode from a deterministically-filled raw buffer whose bytes are the
+ * same for every format: differences between the resulting samples reveal
+ * exactly how the reference interprets each input format. */
+static int do_encode_raw(const char *fmt, int w, int h, int quality,
+                         int pattern, const char *path)
+{
+    CFHD_PixelFormat pf;
+    CFHD_EncodedFormat ef = CFHD_ENCODED_FORMAT_RGB_444;
+    int pitch;
+    if (!strcmp(fmt, "r210")) { pf = CFHD_PIXEL_FORMAT_R210; pitch = w * 4; }
+    else if (!strcmp(fmt, "DPX0")) { pf = CFHD_PIXEL_FORMAT_DPX0; pitch = w * 4; }
+    else if (!strcmp(fmt, "RG30")) { pf = CFHD_PIXEL_FORMAT_RG30; pitch = w * 4; }
+    else if (!strcmp(fmt, "AB10")) { pf = CFHD_PIXEL_FORMAT_AB10; pitch = w * 4; }
+    else if (!strcmp(fmt, "AR10")) { pf = CFHD_PIXEL_FORMAT_AR10; pitch = w * 4; }
+    else if (!strcmp(fmt, "BGRA")) { pf = CFHD_PIXEL_FORMAT_BGRA; pitch = w * 4; }
+    else if (!strcmp(fmt, "BGRa")) { pf = CFHD_PIXEL_FORMAT_BGRa; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
+    else if (!strcmp(fmt, "RG24")) { pf = CFHD_PIXEL_FORMAT_RG24; pitch = w * 3; }
+    else if (!strcmp(fmt, "RG64")) { pf = CFHD_PIXEL_FORMAT_RG64; pitch = w * 8;
+                                     ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
+    else if (!strcmp(fmt, "BYR5")) { pf = CFHD_PIXEL_FORMAT_BYR5; pitch = w * 3 / 2;
+                                     ef = CFHD_ENCODED_FORMAT_BAYER; }
+    else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
+
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, pf, ef,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    size_t nbytes = (size_t)pitch * h;
+    uint8_t *buf = (uint8_t *)malloc(nbytes);
+    uint32_t seed = 0x77777u + (uint32_t)pattern;
+    for (size_t i = 0; i + 4 <= nbytes; i += 4) {
+        uint32_t r = xs32(&seed);
+        buf[i] = (uint8_t)r; buf[i+1] = (uint8_t)(r >> 8);
+        buf[i+2] = (uint8_t)(r >> 16); buf[i+3] = (uint8_t)(r >> 24);
+    }
+    err = CFHD_EncodeSample(enc, buf, pitch);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "%s encoded %dx%d q=%d -> %zu bytes\n", fmt, w, h, quality, size);
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
 static int do_encode_3d(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -563,6 +613,9 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode_gop"))
         return do_encode_gop(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), argv[6]);
+    if (argc >= 8 && !strcmp(argv[1], "encode_raw"))
+        return do_encode_raw(argv[2], atoi(argv[3]), atoi(argv[4]),
+                             atoi(argv[5]), atoi(argv[6]), argv[7]);
     if (argc >= 8 && !strcmp(argv[1], "encode_gop_files"))
         return do_encode_gop_files(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                                    argv[5], argv[6], argv[7]);
