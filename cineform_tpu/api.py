@@ -300,7 +300,8 @@ class Encoder:
 class Decoder:
     """Sample decoder (`DecoderSDK/SampleDecoder.cpp:387-1936`)."""
 
-    OUTPUT_FORMATS = (PixelFormat.YUY2,)
+    OUTPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.YU64,
+                      PixelFormat.V210)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -357,17 +358,26 @@ class Decoder:
         if not self._prepared:
             raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
         try:
-            if self.resolution == DecodedResolution.FULL:
-                out, _ = intra_host.decode_sample(sample)
-            else:
+            if self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
+            elif self.output_format == PixelFormat.YUY2:
+                out, _ = intra_host.decode_sample(sample)
+            else:
+                fourcc = {PixelFormat.UYVY: "2vuy", PixelFormat.YU64: "YU64",
+                          PixelFormat.V210: "v210"}[self.output_format]
+                out = intra_host.decode_sample_to(sample, fourcc)
         except CFHDError:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+        row_bytes = {
+            PixelFormat.YUY2: 2 * self.width, PixelFormat.UYVY: 2 * self.width,
+            PixelFormat.YU64: 4 * self.width,
+            PixelFormat.V210: ((self.width + 47) // 48) * 128,
+        }[self.output_format]
         return np.frombuffer(out, dtype=np.uint8).reshape(
-            self.height, 2 * self.width)
+            self.height, row_bytes)
 
     # CFHD_CloseDecoder
     def close(self) -> None:

@@ -455,6 +455,103 @@ def decode_sample(sample: bytes, dither: bool = True) -> tuple[bytes, object]:
     return xf.pack_yuy2(*planes), s
 
 
+def decode_sample_yuv10(sample: bytes) -> list[np.ndarray]:
+    """Decode to 10-bit YUV planes [Y (H,W), Cr (H,W/2), Cb (H,W/2)]
+    (the deep-output stage: value = pre-descale v2 rounded >>1; the
+    reference adds a {0,1} dither with a different draw layout than the
+    8-bit path — ours rounds deterministically, within +-1 everywhere)."""
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    planes = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+        lh, hl, hh = wb[0]
+        low = xf.v26_inverse(ll, hl).astype(np.int64)
+        high = xf.v26_inverse(lh, hh).astype(np.int64)
+        te = (low[..., :-2] - low[..., 2:] + 4) >> 3
+        to = (-low[..., :-2] + low[..., 2:] + 4) >> 3
+        h, half = low.shape
+        v2 = np.zeros((h, half * 2), np.int64)
+        v2[:, 2:-2:2] = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
+        v2[:, 3:-2:2] = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
+        t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + 4) >> 3
+        t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + 4) >> 3
+        v2[:, 0] = np.maximum(t0e + high[..., 0], 0)
+        v2[:, 1] = np.maximum(t0o - high[..., 0], 0)
+        tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + 4) >> 3
+        tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + 4) >> 3
+        v2[:, -2] = np.maximum(tke + high[..., -1], 0)
+        v2[:, -1] = np.maximum(tko - high[..., -1], 0)
+        planes.append(np.clip((v2 + 1) >> 1, 0, 1023).astype(np.int32))
+    return planes
+
+
+def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
+    """Decode to an alternate output pixel format.
+
+    '2vuy' is byte-exact vs the reference decoder (a repack of the
+    byte-exact YUY2 output); 'YU64' and 'v210' are 10/16-bit deep outputs
+    within +-1 (10-bit) of the reference's dithered values."""
+    if fourcc == "2vuy":
+        yuy2, _ = decode_sample(sample)
+        a = np.frombuffer(yuy2, np.uint8).reshape(-1, 4)
+        out = a[:, [1, 0, 3, 2]]
+        return np.ascontiguousarray(out).tobytes()
+    y, cb, cr = decode_sample_yuv10(sample)
+    h, w = y.shape
+    if fourcc == "YU64":
+        row = np.empty((h, 2 * w), np.uint16)
+        row[:, 0::4] = (y[:, 0::2] << 6).astype(np.uint16)
+        row[:, 1::4] = (cb << 6).astype(np.uint16)
+        row[:, 2::4] = (y[:, 1::2] << 6).astype(np.uint16)
+        row[:, 3::4] = (cr << 6).astype(np.uint16)
+        return row.astype("<u2").tobytes()
+    if fourcc == "v210":
+        # 6 pixels -> 4 words -> 12 component slots per group.  NOTE: the
+        # reference's v210 OUTPUT writer swaps Cb/Cr relative to its own
+        # v210 reader (slot 0 carries Cr), pinned against decode_fmt
+        # goldens; we reproduce that.
+        cb, cr = cr, cb
+        pitch_words = ((w + 47) // 48) * 32
+        stream = np.zeros((h, pitch_words * 3), np.int64)
+        g = -(-w // 6)
+        if 6 * g != w:   # edge-pad the tail group
+            pad = 6 * g - w
+            y = np.pad(y, ((0, 0), (0, pad)), mode="edge")
+            cb = np.pad(cb, ((0, 0), (0, pad // 2)), mode="edge")
+            cr = np.pad(cr, ((0, 0), (0, pad // 2)), mode="edge")
+        sl = stream[:, :12 * g].reshape(h, g, 12)
+        yg = y[:, :6 * g].reshape(h, g, 6)
+        cbg = cb[:, :3 * g].reshape(h, g, 3)
+        crg = cr[:, :3 * g].reshape(h, g, 3)
+        sl[:, :, 0] = cbg[:, :, 0]
+        sl[:, :, 1] = yg[:, :, 0]
+        sl[:, :, 2] = crg[:, :, 0]
+        sl[:, :, 3] = yg[:, :, 1]
+        sl[:, :, 4] = cbg[:, :, 1]
+        sl[:, :, 5] = yg[:, :, 2]
+        sl[:, :, 6] = crg[:, :, 1]
+        sl[:, :, 7] = yg[:, :, 3]
+        sl[:, :, 8] = cbg[:, :, 2]
+        sl[:, :, 9] = yg[:, :, 4]
+        sl[:, :, 10] = crg[:, :, 2]
+        sl[:, :, 11] = yg[:, :, 5]
+        words = (stream[:, 0::3] | (stream[:, 1::3] << 10)
+                 | (stream[:, 2::3] << 20))
+        return words.astype("<u4").tobytes()
+    raise ValueError(f"unsupported output format {fourcc}")
+
+
 def decode_sample_scaled(sample: bytes, resolution: int) -> bytes:
     """Resolution-scalable decode: stop the wavelet inverse early.
 

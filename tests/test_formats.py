@@ -197,3 +197,42 @@ def test_rg24_encode_near_exact():
                    320, 240, meta)
     n = sum(1 for a, b in zip(mine, gold) if a == b)
     assert n / min(len(mine), len(gold)) > 0.999
+
+
+def test_decode_output_2vuy_byte_exact():
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    from cineform_tpu.models.intra_host import decode_sample_to
+    assert decode_sample_to(sample, "2vuy") == _golden("s_320x240_q4_p1.2vuy")
+
+
+def test_decode_output_yu64_deep():
+    """YU64 deep output: within one 10-bit step of the reference's dithered
+    16-bit output everywhere (we round deterministically)."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    mine = np.frombuffer(decode_sample_to(sample, "YU64"), "<u2").astype(int)
+    gold = np.frombuffer(_golden("s_320x240_q4_p1.yu64out"), "<u2").astype(int)
+    assert np.abs(mine - gold).max() <= 2 << 6
+    assert (np.abs(mine - gold) <= 64).mean() > 0.995
+
+
+def test_decode_output_v210_deep():
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    mine = np.frombuffer(decode_sample_to(sample, "v210"), "<u4")
+    gold = np.frombuffer(_golden("s_320x240_q4_p1.v210out"), "<u4")
+    mc = np.stack([mine & 1023, (mine >> 10) & 1023, (mine >> 20) & 1023]).astype(int)
+    gc = np.stack([gold & 1023, (gold >> 10) & 1023, (gold >> 20) & 1023]).astype(int)
+    d = np.abs(mc - gc)
+    assert (d <= 2).mean() > 0.995
+
+
+def test_decoder_api_output_formats():
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    for pf, nbytes in ((api.PixelFormat.UYVY, 320 * 240 * 2),
+                       (api.PixelFormat.YU64, 320 * 240 * 4),
+                       (api.PixelFormat.V210, ((320 + 47) // 48) * 128 * 240)):
+        dec = api.Decoder()
+        dec.prepare_to_decode(0, 0, pf, sample=sample)
+        out = dec.decode_sample(sample)
+        assert out.size == nbytes, (pf, out.size)

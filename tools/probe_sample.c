@@ -552,6 +552,53 @@ static int do_decode_gop(const char *seqpath, const char *grppath, const char *o
     return 0;
 }
 
+/* Decode to an arbitrary output pixel format. */
+static int do_decode_fmt(const char *inpath, const char *fmt, const char *outpath)
+{
+    CFHD_PixelFormat pf;
+    int bpp;
+    if (!strcmp(fmt, "2vuy")) { pf = CFHD_PIXEL_FORMAT_2VUY; bpp = 2; }
+    else if (!strcmp(fmt, "YU64")) { pf = CFHD_PIXEL_FORMAT_YU64; bpp = 4; }
+    else if (!strcmp(fmt, "v210")) { pf = CFHD_PIXEL_FORMAT_V210; bpp = 0; }
+    else if (!strcmp(fmt, "RG48")) { pf = CFHD_PIXEL_FORMAT_RG48; bpp = 6; }
+    else if (!strcmp(fmt, "b64a")) { pf = CFHD_PIXEL_FORMAT_B64A; bpp = 8; }
+    else if (!strcmp(fmt, "RG64")) { pf = CFHD_PIXEL_FORMAT_RG64; bpp = 8; }
+    else if (!strcmp(fmt, "BGRA")) { pf = CFHD_PIXEL_FORMAT_BGRA; bpp = 4; }
+    else if (!strcmp(fmt, "r210")) { pf = CFHD_PIXEL_FORMAT_R210; bpp = 4; }
+    else if (!strcmp(fmt, "DPX0")) { pf = CFHD_PIXEL_FORMAT_DPX0; bpp = 4; }
+    else if (!strcmp(fmt, "RG30")) { pf = CFHD_PIXEL_FORMAT_RG30; bpp = 4; }
+    else if (!strcmp(fmt, "R408")) { pf = CFHD_PIXEL_FORMAT_R408; bpp = 4; }
+    else if (!strcmp(fmt, "V408")) { pf = CFHD_PIXEL_FORMAT_V408; bpp = 4; }
+    else if (!strcmp(fmt, "WP13")) { pf = CFHD_PIXEL_FORMAT_WP13; bpp = 6; }
+    else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
+
+    FILE *f = fopen(inpath, "rb");
+    if (!f) return 1;
+    fseek(f, 0, SEEK_END); long size = ftell(f); fseek(f, 0, SEEK_SET);
+    uint8_t *sample = (uint8_t *)malloc((size_t)size);
+    if (fread(sample, 1, (size_t)size, f) != (size_t)size) return 1;
+    fclose(f);
+    CFHD_DecoderRef dec = NULL;
+    if (CFHD_OpenDecoder(&dec, NULL)) return 1;
+    int aw = 0, ah = 0;
+    CFHD_PixelFormat afmt;
+    CFHD_Error err = CFHD_PrepareToDecode(dec, 0, 0, pf,
+                                          CFHD_DECODED_RESOLUTION_FULL,
+                                          CFHD_DECODING_FLAGS_NONE,
+                                          sample, (size_t)size, &aw, &ah, &afmt);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    int pitch = bpp ? aw * bpp : ((aw + 47) / 48) * 128;
+    uint8_t *out = (uint8_t *)calloc(ah, pitch);
+    err = CFHD_DecodeSample(dec, sample, (size_t)size, out, pitch);
+    if (err) { fprintf(stderr, "decode %d\n", err); return 1; }
+    FILE *g = fopen(outpath, "wb");
+    fwrite(out, 1, (size_t)pitch * ah, g);
+    fclose(g);
+    fprintf(stderr, "decoded %s %dx%d pitch %d\n", fmt, aw, ah, pitch);
+    CFHD_CloseDecoder(dec);
+    return 0;
+}
+
 static int do_decode(const char *inpath, const char *outpath)
 {
     FILE *f = fopen(inpath, "rb");
@@ -627,6 +674,8 @@ int main(int argc, char **argv)
                               atoi(argv[5]), argv[6]);
     if (argc >= 5 && !strcmp(argv[1], "decode_gop"))
         return do_decode_gop(argv[2], argv[3], argv[4]);
+    if (argc >= 5 && !strcmp(argv[1], "decode_fmt"))
+        return do_decode_fmt(argv[2], argv[3], argv[4]);
     if (argc >= 4 && !strcmp(argv[1], "decode"))
         return do_decode(argv[2], argv[3]);
     if (argc >= 5 && !strcmp(argv[1], "decoderes"))
