@@ -1,0 +1,88 @@
+"""Aux subsystems: DPX file I/O, .cflook LUT database, keyframed metadata,
+burn-in overlays (the draw.c / lutpath.cpp / keyframe analogs)."""
+
+import os
+
+import numpy as np
+
+from cineform_tpu.ops.overlay import (burn_text, burn_timecode,
+                                      render_histogram_overlay,
+                                      render_waveform_overlay, text_mask)
+from cineform_tpu.utils.dpx import read_dpx, write_dpx, pack_dpx0, unpack_dpx0
+from cineform_tpu.utils.keyframes import Timeline, Track
+from cineform_tpu.utils.lutpath import Look, LookDatabase, look_crc
+
+
+def test_dpx_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 1024, (48, 64, 3)).astype(np.uint16)
+    p = str(tmp_path / "t.dpx")
+    write_dpx(p, rgb)
+    back = read_dpx(p)
+    assert np.array_equal(back, rgb)
+
+
+def test_dpx0_packing_matches_thumbnail_convention():
+    rgb = np.array([[[1023, 0, 512]]], np.uint16)
+    w = pack_dpx0(rgb)
+    assert int(w.astype(np.uint32)[0, 0]) == (1023 << 22) | (512 << 2)
+    assert np.array_equal(unpack_dpx0(w.astype(np.uint32)), rgb)
+
+
+def test_cflook_database_roundtrip(tmp_path):
+    n = 16
+    ax = np.linspace(0, 1, n, dtype=np.float32)
+    lut = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    lut = lut[..., ::-1] ** 1.2          # a non-identity look
+    db = LookDatabase(str(tmp_path))
+    look = Look(lut=lut.astype(np.float32), name="test look")
+    crc = db.store(look)
+    assert os.path.exists(db.path_for(crc))
+    back = db.load(crc)
+    assert back is not None and back.name == "test look"
+    assert np.allclose(back.lut, look.lut)
+    assert db.load(0xDEADBEEF) is None
+    assert crc == look_crc(look)
+
+
+def test_cflook_apply(tmp_path):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    n = 17
+    ax = np.linspace(0, 1, n, dtype=np.float32)
+    lut = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    db = LookDatabase(str(tmp_path))
+    crc = db.store(Look(lut=lut))        # identity LUT
+    rgb = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    out = np.asarray(db.apply(crc, rgb))
+    assert np.allclose(out, rgb, atol=1e-5)
+
+
+def test_keyframe_tracks():
+    t = Track([0, 10], [0.0, 1.0])
+    assert t.sample(-5) == 0.0 and t.sample(15) == 1.0
+    assert abs(t.sample(5) - 0.5) < 1e-12
+    ts = Track([0, 10, 20], [0.0, 1.0, 0.0], interpolation="spline")
+    assert abs(ts.sample(10) - 1.0) < 1e-12
+    assert ts.sample(5) > 0.4            # smooth rise
+    tl = Timeline()
+    tl.set_keyframes("exposure", [0, 100], [1.0, 2.0])
+    tl.set_keyframes("matrix", [0, 100], [np.eye(3), 2 * np.eye(3)])
+    at50 = tl.at(50)
+    assert abs(at50["exposure"] - 1.5) < 1e-12
+    assert np.allclose(at50["matrix"], 1.5 * np.eye(3))
+
+
+def test_burn_text_and_scopes():
+    frame = np.full((240, 320), 100, np.uint8)
+    out = burn_text(frame, "TC 00:01:02:03", 10, 10)
+    assert (out == 235).sum() > 100          # glyph pixels lit
+    assert (out == 16).sum() > 20            # drop shadow present
+    assert np.array_equal(frame, np.full((240, 320), 100, np.uint8))
+    out2 = burn_timecode(frame, "00:00:01:00")
+    assert (out2 == 235).sum() > 100
+    h = render_histogram_overlay(frame)
+    assert (h != frame).sum() > 100
+    w = render_waveform_overlay(frame)
+    assert (w != frame).sum() > 100
+    assert text_mask("A", scale=1).shape == (7, 6)
