@@ -78,6 +78,34 @@ def main() -> None:
     nframes = batch * iters
     fps = nframes / elapsed
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else 99.0
+
+    # Host entropy stage (C++ coder): measured on typical (smooth) content;
+    # in production it pipelines with the device transform across cores.
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.ref import intra as xf
+    from cineform_tpu.spec.production import IntraParams
+
+    params = IntraParams(width=w, height=h, quality=quality)
+    planes = xf.unpack_yuy2(yuy2_frame(w, h, 0), w, h, params.precision)
+    chans = [intra_host.transform_channel(p, params, ch)
+             for ch, p in enumerate(planes)]
+    bands = []
+    for c in chans:
+        for bs in c.bands:
+            for b in bs:
+                bh, bw = b.shape
+                pw = intra_host.align16_pixels(bw)
+                pb = np.zeros((bh, pw), np.int32)
+                pb[:, :bw] = b
+                bands.append(np.ascontiguousarray(pb))
+    from cineform_tpu.entropy.native import encode_band_bytes
+    for b in bands:
+        encode_band_bytes(b, codeset=17)       # warm/build
+    t0 = time.perf_counter()
+    for _ in range(5):
+        for b in bands:
+            encode_band_bytes(b, codeset=17)
+    entropy_ms = (time.perf_counter() - t0) / 5 * 1000
     print(json.dumps({
         "metric": "1080p_yuy2_encode_decode_transform_fps_per_chip",
         "value": round(fps, 2),
@@ -88,6 +116,7 @@ def main() -> None:
             "roundtrip_psnr_db": round(float(psnr), 2),
             "batch": batch,
             "device": str(jax.devices()[0]),
+            "host_entropy_ms_per_frame_per_core": round(entropy_ms, 2),
         },
     }))
 

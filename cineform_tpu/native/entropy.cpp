@@ -35,6 +35,23 @@ static inline void bw_put(BitWriter *w, uint32_t bits, int size)
 {
     w->acc = (w->acc << size) | (bits & ((size < 32) ? ((1u << size) - 1u) : 0xFFFFFFFFu));
     w->nbits += size;
+    if (w->nbits >= 32) {
+        w->nbits -= 32;
+        if (w->pos + 4 > w->cap) { w->overflow = 1; return; }
+        uint32_t word = (uint32_t)(w->acc >> w->nbits);
+        w->buf[w->pos] = (uint8_t)(word >> 24);
+        w->buf[w->pos + 1] = (uint8_t)(word >> 16);
+        w->buf[w->pos + 2] = (uint8_t)(word >> 8);
+        w->buf[w->pos + 3] = (uint8_t)word;
+        w->pos += 4;
+    }
+}
+
+/* Drain any remaining whole/partial bytes (zero-padded to a byte). */
+static inline void bw_finish(BitWriter *w)
+{
+    if (w->nbits & 7)
+        bw_put(w, 0, 8 - (w->nbits & 7));
     while (w->nbits >= 8) {
         w->nbits -= 8;
         if (w->pos >= w->cap) { w->overflow = 1; return; }
@@ -59,7 +76,22 @@ int64_t encode_band(const int32_t *values, int64_t n,
     int64_t run = 0;
     for (int64_t i = 0; i < n; i++) {
         int32_t v = values[i];
-        if (v == 0) { run++; continue; }
+        if (v == 0) {
+            /* fast zero skip: bands are mostly zeros; consume 8 at a time */
+            run++; i++;
+            while (i + 8 <= n) {
+                uint64_t a, b, c, d;
+                memcpy(&a, values + i, 8);
+                memcpy(&b, values + i + 2, 8);
+                memcpy(&c, values + i + 4, 8);
+                memcpy(&d, values + i + 6, 8);
+                if ((a | b | c | d) != 0) break;
+                run += 8; i += 8;
+            }
+            while (i < n && values[i] == 0) { run++; i++; }
+            i--;   /* loop increment re-advances */
+            continue;
+        }
         while (run > 0) {
             int64_t idx = run < 3072 ? run : 3071;
             bw_put(&w, rb_bits[idx], rb_size[idx]);
@@ -78,8 +110,7 @@ int64_t encode_band(const int32_t *values, int64_t n,
         run -= rb_count[idx];
     }
     bw_put(&w, bandend_bits, bandend_size);
-    if (w.nbits > 0)
-        bw_put(&w, 0, 8 - w.nbits);
+    bw_finish(&w);
     if (w.overflow) return -1;
     return w.pos;
 }
