@@ -584,6 +584,8 @@ def decode_sample_scaled(sample: bytes, resolution: int) -> bytes:
             lh, hl, hh = bands[k][1], bands[k][2], bands[k][3]
             descale = 2 if prescale[k] == 2 else 1
             ll = xf.dwt2d_inverse(ll, lh, hl, hh, descale)
-        plane = np.clip((ll + (1 << (shift - 1))) >> shift, 0, 255)
+        # rounding bias is half-1, like the full-res output stage's +3>>3
+        # (byte-exact vs the reference, which adds no dither below full res)
+        plane = np.clip((ll + (1 << (shift - 1)) - 1) >> shift, 0, 255)
         planes.append(plane.astype(np.uint8))
     return xf.pack_yuy2(*planes)

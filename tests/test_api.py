@@ -86,9 +86,10 @@ def test_half_resolution_decode_matches_reference():
         aw, ah, _ = dec.prepare_to_decode(
             0, 0, resolution=api.DecodedResolution.HALF, sample=sample)
         assert (aw, ah) == (w // 2, h // 2)
-        mine = dec.decode_sample(sample).ravel().astype(int)
-        gold = np.frombuffer(_golden(f"{name}.half.yuy2"), np.uint8).astype(int)
-        assert np.abs(mine - gold).max() <= 1
+        mine = dec.decode_sample(sample).ravel()
+        gold = np.frombuffer(_golden(f"{name}.half.yuy2"), np.uint8)
+        # byte-exact: below full resolution the reference adds no dither
+        assert np.array_equal(mine, gold)
 
 
 def test_quarter_resolution_self_consistent():
