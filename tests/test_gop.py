@@ -144,3 +144,18 @@ def test_reference_decodes_our_group():
         psnr = 10 * np.log10(255 ** 2 / np.mean((a - d0) ** 2))
         assert psnr > 28, psnr
         assert np.abs(d0 - d1).max() <= 1  # differ only by output dither
+
+
+def test_gop_jax_encode_byte_exact():
+    """The device (JAX) GOP pipeline must produce the same bytes as the
+    host oracle / reference encoder."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from cineform_tpu.models.gop import GopCodec
+
+    gold = _golden("gop_320x240_q4_p1.cfhd.f1")
+    codec = GopCodec(width=320, height=240, quality=4)
+    f0 = np.frombuffer(yuy2_frame(320, 240, 1), np.uint8).reshape(1, 240, 640)
+    f1 = np.frombuffer(yuy2_frame(320, 240, 2), np.uint8).reshape(1, 240, 640)
+    samples = codec.encode_batch(f0, f1, 1, _metadata_from(gold))
+    assert samples[0] == gold
