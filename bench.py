@@ -64,16 +64,35 @@ def main() -> None:
         acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), frames))
         return acc
 
+    # encode-only transform (the reference's 923.6 fps headline is encode
+    # only): chain K forwards, fold each result into a scalar
+    @jax.jit
+    def chained_fwd(frames):
+        def body(_, carry):
+            acc, cur = carry
+            coeffs = codec.forward(cur)
+            s = sum(b[:, 0, 0].astype(jnp.int32).sum()
+                    for _, bands in coeffs for bs in bands for b in bs)
+            return acc + s, jnp.bitwise_xor(cur, jnp.uint8(1))
+        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), frames))
+        return acc
+
     dev_frames = jax.device_put(jnp.asarray(frames))
     mse = float(roundtrip_mse(dev_frames))    # quality stat + warm
     float(chained(dev_frames))                 # compile + warm
+    float(chained_fwd(dev_frames))
 
     iters = 2
     t0 = time.perf_counter()
     for _ in range(iters):
         float(chained(dev_frames))
     elapsed = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(chained_fwd(dev_frames))
+    fwd_elapsed = time.perf_counter() - t0
     iters *= K
+    encode_fps = batch * iters / fwd_elapsed
 
     nframes = batch * iters
     fps = nframes / elapsed
@@ -117,6 +136,7 @@ def main() -> None:
             "batch": batch,
             "device": str(jax.devices()[0]),
             "host_entropy_ms_per_frame_per_core": round(entropy_ms, 2),
+            "encode_only_transform_fps": round(encode_fps, 2),
         },
     }))
 

@@ -361,6 +361,39 @@ static int do_encode_gop(int w, int h, int quality, int pattern, const char *pat
     return 0;
 }
 
+/* Encode an INTERLACED 2-frame GOP (HORZTEMP frame wavelets). */
+static int do_encode_gop_ilace(int w, int h, int quality, int pattern,
+                               const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          (CFHD_EncodingFlags)
+                                          (CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP |
+                                           CFHD_ENCODING_FLAGS_YUV_INTERLACED),
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    for (int i = 0; i < 2; i++) {
+        fill_yuy2(frame, w, h, pattern >= 100 ? pattern : pattern + i);
+        err = CFHD_EncodeSample(enc, frame, w * 2);
+        fprintf(stderr, "frame %d: encode err=%d\n", i, err);
+        void *sample = NULL; size_t size = 0;
+        CFHD_Error gerr = CFHD_GetSampleData(enc, &sample, &size);
+        if (gerr == 0 && size > 0) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d", path, i);
+            FILE *f = fopen(name, "wb");
+            fwrite(sample, 1, size, f);
+            fclose(f);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 /* Encode a 2-frame GOP from two raw YUY2 files (frame-pair probing). */
 static int do_encode_gop_files(int w, int h, int quality, const char *in0,
                                const char *in1, const char *path)
@@ -663,6 +696,9 @@ int main(int argc, char **argv)
     if (argc >= 8 && !strcmp(argv[1], "encode_raw"))
         return do_encode_raw(argv[2], atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), atoi(argv[6]), argv[7]);
+    if (argc >= 7 && !strcmp(argv[1], "encode_gop_ilace"))
+        return do_encode_gop_ilace(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                                   atoi(argv[5]), argv[6]);
     if (argc >= 8 && !strcmp(argv[1], "encode_gop_files"))
         return do_encode_gop_files(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                                    argv[5], argv[6], argv[7]);
