@@ -301,7 +301,8 @@ class Decoder:
     """Sample decoder (`DecoderSDK/SampleDecoder.cpp:387-1936`)."""
 
     OUTPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.YU64,
-                      PixelFormat.V210)
+                      PixelFormat.V210, PixelFormat.RG48, PixelFormat.BGRA,
+                      PixelFormat.B64A)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -365,7 +366,9 @@ class Decoder:
                 out, _ = intra_host.decode_sample(sample)
             else:
                 fourcc = {PixelFormat.UYVY: "2vuy", PixelFormat.YU64: "YU64",
-                          PixelFormat.V210: "v210"}[self.output_format]
+                          PixelFormat.V210: "v210", PixelFormat.RG48: "RG48",
+                          PixelFormat.BGRA: "BGRA",
+                          PixelFormat.B64A: "b64a"}[self.output_format]
                 out = intra_host.decode_sample_to(sample, fourcc)
         except CFHDError:
             raise
@@ -375,6 +378,8 @@ class Decoder:
             PixelFormat.YUY2: 2 * self.width, PixelFormat.UYVY: 2 * self.width,
             PixelFormat.YU64: 4 * self.width,
             PixelFormat.V210: ((self.width + 47) // 48) * 128,
+            PixelFormat.RG48: 6 * self.width, PixelFormat.BGRA: 4 * self.width,
+            PixelFormat.B64A: 8 * self.width,
         }[self.output_format]
         return np.frombuffer(out, dtype=np.uint8).reshape(
             self.height, row_bytes)

