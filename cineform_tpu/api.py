@@ -190,11 +190,17 @@ class Encoder:
             # dims must survive 3 halvings with filter-legal extents
             raise CFHDError(ErrorCode.INVALID_ARGUMENT,
                             f"unsupported dimensions {width}x{height}")
+        if (encoding_flags & EncodingFlags.YUV_2FRAME_GOP) and \
+                pixel_format != PixelFormat.YUY2:
+            raise CFHDError(ErrorCode.BADFORMAT,
+                            "2-frame GOP supports YUY2 input")
         self.width = width
         self.height = height
         self.pixel_format = pixel_format
         self.encoded_format = encoded_format
+        self.encoding_flags = encoding_flags
         self.quality = EncodingQuality(int(quality) & 0xFF)
+        self._pending_gop_frame = None
         self._prepared = True
 
     # CFHD_MetadataAttach
@@ -209,6 +215,8 @@ class Encoder:
         if not self._prepared:
             raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
         pf = PixelFormat
+        gop = bool(getattr(self, "encoding_flags", 0)
+                   & EncodingFlags.YUV_2FRAME_GOP)
         row_bytes = {
             pf.YUY2: 2 * self.width, pf.UYVY: 2 * self.width,
             pf.V210: ((self.width + 47) // 48) * 128,
@@ -258,6 +266,22 @@ class Encoder:
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 frame_number=self._frame_number, metadata=self._metadata,
                 packed=(self.pixel_format == PixelFormat.BYR5))
+        elif self.pixel_format == PixelFormat.YUY2 and gop:
+            # 2-frame GOP: the first EncodeSample of each pair returns the
+            # tiny sequence-header sample; the second returns the GROUP
+            # (the reference's CFHD_EncodeSample behaves the same way).
+            from cineform_tpu.models import gop_host
+            if self._pending_gop_frame is None:
+                self._pending_gop_frame = buf.tobytes()
+                self._sample = gop_host.sequence_header(self.width,
+                                                        self.height)
+            else:
+                first = self._pending_gop_frame
+                self._pending_gop_frame = None
+                self._sample = gop_host.encode_group(
+                    first, buf.tobytes(), self.width, self.height,
+                    int(self.quality), self._frame_number // 2,
+                    self._metadata)
         elif self.pixel_format == PixelFormat.YUY2:
             self._sample = intra_host.encode_sample(
                 buf.tobytes(), self.width, self.height, int(self.quality),
@@ -359,7 +383,19 @@ class Decoder:
         if not self._prepared:
             raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
         try:
-            if self.resolution != DecodedResolution.FULL:
+            from cineform_tpu.bitstream import parse_sample
+            if parse_sample(sample).sample_type == 2:   # GROUP (2-frame GOP)
+                # consecutive DecodeSample calls on the same group return
+                # frame 1 then frame 2, like the reference decoder
+                from cineform_tpu.models import gop_host
+                if getattr(self, "_gop_cache", None) is None or \
+                        self._gop_cache[0] != sample[:64]:
+                    f0, f1 = gop_host.decode_group(sample)
+                    self._gop_cache = (sample[:64], f0, f1, 0)
+                key, f0, f1, idx = self._gop_cache
+                out = f0 if idx == 0 else f1
+                self._gop_cache = (key, f0, f1, 1 - idx)
+            elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
             elif self.output_format == PixelFormat.YUY2:

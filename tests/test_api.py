@@ -108,3 +108,35 @@ def test_quarter_resolution_self_consistent():
     fy4 = fy.reshape(h // 4, 4, w // 4, 4).mean(axis=(1, 3))
     psnr = 10 * np.log10(255 ** 2 / np.mean((qy - fy4) ** 2))
     assert psnr > 30, psnr
+
+
+def test_encoder_gop_flag():
+    """With YUV_2FRAME_GOP the encoder emits a sequence header for the
+    first frame of a pair and the GROUP sample for the second, matching
+    the reference goldens byte for byte."""
+    from cineform_tpu.utils.testframes import yuy2_frame
+    from tests.test_gop import _metadata_from
+
+    gold_seq = _golden("gop_320x240_q4_p1.cfhd.f0")
+    gold_grp = _golden("gop_320x240_q4_p1.cfhd.f1")
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.YUY2,
+                          encoding_flags=api.EncodingFlags.YUV_2FRAME_GOP)
+    enc.attach_metadata(_metadata_from(gold_grp))
+    enc.encode_sample(yuy2_frame(320, 240, 1))
+    assert enc.get_sample_data() == gold_seq
+    enc.encode_sample(yuy2_frame(320, 240, 2))
+    assert enc.get_sample_data() == gold_grp
+
+
+def test_decoder_gop_sample():
+    """DecodeSample on a GROUP returns frame 1 then frame 2, matching the
+    reference decode goldens above the bottom strip."""
+    gold_grp = _golden("gop_320x240_q4_p1.cfhd.f1")
+    dec = api.Decoder()
+    dec.prepare_to_decode(0, 0, sample=gold_grp)
+    for i in range(2):
+        out = dec.decode_sample(gold_grp)
+        gold = np.frombuffer(_golden(f"gop_320x240_q4_p1.f{i}.yuy2"),
+                             np.uint8).reshape(240, 640)
+        assert np.array_equal(out[:226], gold[:226])
