@@ -151,7 +151,9 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
     reference_compatible=False is our higher-fidelity extension: frame 1
     is reconstructed from its own LL ((tlow + thigh) >> 1) and w1's bands.
     """
-    ll4 = xf.dwt2d_inverse(lowpass, *bands[5], descale=1)
+    # the reference's threaded group decode uses a shifted bottom border
+    # for the deepest wavelet (the last lowpass row never contributes)
+    ll4 = xf.dwt2d_inverse(lowpass, *bands[5], descale=1, bottom_shift=True)
     tlow = xf.dwt2d_inverse(ll4, *bands[4], descale=2)
     ll3 = bands[3][0]
     thigh = xf.dwt2d_inverse(ll3, *bands[3][1:], descale=1)

@@ -307,10 +307,27 @@ def h26_inverse(low: np.ndarray, high: np.ndarray, descale: int = 1) -> np.ndarr
     return out
 
 
-def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1) -> np.ndarray:
+def v26_inverse_shifted_bottom(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    """v26_inverse with the bottom border taps shifted up one row
+    (5*L[-2]+4*L[-3]-L[-4] instead of L[-1..-3]): the reference's
+    threaded GROUP decode reconstructs the deepest wavelet's bottom strip
+    this way — the last lowpass row never contributes (pinned against the
+    reference binary with row injections; see models/gop_host.py)."""
+    out = v26_inverse(low, high)
+    low, high = low.astype(_I32), high.astype(_I32)
+    tke = (5 * low[-2] + 4 * low[-3] - low[-4] + ROUNDING) >> 3
+    tko = (11 * low[-2] - 4 * low[-3] + low[-4] + ROUNDING) >> 3
+    out[-2] = sat16((tke + high[-1]) >> 1)
+    out[-1] = sat16((tko - high[-1]) >> 1)
+    return out
+
+
+def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1,
+                  bottom_shift: bool = False) -> np.ndarray:
     """One 2D production inverse level: vertical then horizontal."""
-    low = v26_inverse(ll, hl)
-    high = v26_inverse(lh, hh)
+    v26 = v26_inverse_shifted_bottom if bottom_shift else v26_inverse
+    low = v26(ll, hl)
+    high = v26(lh, hh)
     return h26_inverse(low, high, descale)
 
 

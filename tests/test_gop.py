@@ -70,8 +70,10 @@ def test_gop_decode_byte_exact_above_bottom_strip(name, p0, p1):
         a = np.frombuffer(mine, np.uint8).reshape(240, 640).astype(int)
         # rows 0..225: byte-exact (incl. the replicated output dither)
         assert (a[:226] == gold[:226]).all()
-        # bottom strip: reference's InvertSpatialBottomRow16s variant TODO
-        assert (a[226:] == gold[226:]).mean() > 0.25
+        # bottom strip: the deepest wavelet's shifted bottom border is
+        # replicated; residual ~1.5% of the strip still differs (compound
+        # rounding inside the reference's threaded bottom pass)
+        assert (a[226:] == gold[226:]).mean() > 0.70
 
 
 def test_gop_sequence_header_byte_exact():
@@ -106,9 +108,12 @@ def test_gop_roundtrip_self_consistent():
     assert s.num_subbands == 17
     d0, d1 = gop_host.decode_group(group)
     for raw, dec in ((raw0, d0), (raw1, d1)):
-        a = np.frombuffer(raw, np.uint8).astype(float)
-        b = np.frombuffer(dec, np.uint8).astype(float)
-        psnr = 10 * np.log10(255 ** 2 / np.mean((a - b) ** 2))
+        a = np.frombuffer(raw, np.uint8).reshape(h, 2 * w).astype(float)
+        b = np.frombuffer(dec, np.uint8).reshape(h, 2 * w).astype(float)
+        # the reference-compatible decode reproduces the reference's own
+        # bottom-strip truncation (the deepest LL's last row is ignored),
+        # so fidelity gates exclude the bottom 14 rows
+        psnr = 10 * np.log10(255 ** 2 / np.mean((a[:226] - b[:226]) ** 2))
         assert psnr > 34, psnr
 
 
