@@ -80,6 +80,7 @@ class PixelFormat(enum.IntEnum):
     AB10 = _fourcc("AB10")
     AR10 = _fourcc("AR10")
     RG64 = _fourcc("RG64")
+    NV12 = _fourcc("NV12")
 
 
 class EncodedFormat(enum.IntEnum):
@@ -326,7 +327,8 @@ class Decoder:
 
     OUTPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.YU64,
                       PixelFormat.V210, PixelFormat.RG48, PixelFormat.BGRA,
-                      PixelFormat.B64A)
+                      PixelFormat.B64A, PixelFormat.NV12, PixelFormat.R210,
+                      PixelFormat.DPX0, PixelFormat.RG30)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -404,7 +406,9 @@ class Decoder:
                 fourcc = {PixelFormat.UYVY: "2vuy", PixelFormat.YU64: "YU64",
                           PixelFormat.V210: "v210", PixelFormat.RG48: "RG48",
                           PixelFormat.BGRA: "BGRA",
-                          PixelFormat.B64A: "b64a"}[self.output_format]
+                          PixelFormat.B64A: "b64a", PixelFormat.NV12: "NV12",
+                          PixelFormat.R210: "r210", PixelFormat.DPX0: "DPX0",
+                          PixelFormat.RG30: "RG30"}[self.output_format]
                 out = intra_host.decode_sample_to(sample, fourcc)
         except CFHDError:
             raise
@@ -416,6 +420,9 @@ class Decoder:
             PixelFormat.V210: ((self.width + 47) // 48) * 128,
             PixelFormat.RG48: 6 * self.width, PixelFormat.BGRA: 4 * self.width,
             PixelFormat.B64A: 8 * self.width,
+            PixelFormat.NV12: 3 * self.width // 2,
+            PixelFormat.R210: 4 * self.width, PixelFormat.DPX0: 4 * self.width,
+            PixelFormat.RG30: 4 * self.width,
         }[self.output_format]
         return np.frombuffer(out, dtype=np.uint8).reshape(
             self.height, row_bytes)

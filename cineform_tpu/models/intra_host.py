@@ -516,6 +516,28 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         row[:, 2::4] = (y[:, 1::2] << 6).astype(np.uint16)
         row[:, 3::4] = (cr << 6).astype(np.uint16)
         return row.astype("<u2").tobytes()
+    if fourcc == "NV12":
+        # 4:2:0 planar Y + interleaved UV: vertical chroma decimation by
+        # averaging row pairs (DECODED_FORMAT_NV12 analog)
+        y8 = np.clip((y + 2) >> 2, 0, 255).astype(np.uint8)
+        cb2 = (cb[0::2] + cb[1::2] + 1) >> 1
+        cr2 = (cr[0::2] + cr[1::2] + 1) >> 1
+        uv = np.empty((h // 2, w), np.uint8)
+        uv[:, 0::2] = np.clip((cb2 + 2) >> 2, 0, 255).astype(np.uint8)
+        uv[:, 1::2] = np.clip((cr2 + 2) >> 2, 0, 255).astype(np.uint8)
+        return y8.tobytes() + uv.tobytes()
+    if fourcc in ("r210", "DPX0", "RG30", "AB10", "AR10"):
+        # packed 10-bit RGB outputs reuse the RGB 4:4:4 conversion and the
+        # per-format word layouts from unpack_rgb10
+        rgb16 = np.frombuffer(decode_sample_to(sample, "RG48"),
+                              "<u2").reshape(h, w, 3).astype(np.uint32)
+        r, g, b = (rgb16[..., i] >> 6 for i in range(3))
+        _, swap, (rs, gs, bs) = xf.RGB10_INPUT_FORMATS[fourcc]
+        word = (r << rs) | (g << gs) | (b << bs)
+        if swap:
+            word = (((word & 0xFF) << 24) | ((word & 0xFF00) << 8)
+                    | ((word >> 8) & 0xFF00) | (word >> 24))
+        return word.astype("<u4").tobytes()
     if fourcc in ("RG48", "BGRA", "b64a"):
         # CG_709 video-range matrix (convert.c:241-248: ymult 1.164,
         # r_vmult 1.793, g_vmult .534, g_umult .213, b_umult 2.115) at

@@ -86,3 +86,37 @@ def test_burn_text_and_scopes():
     w = render_waveform_overlay(frame)
     assert (w != frame).sum() > 100
     assert text_mask("A", scale=1).shape == (7, 6)
+
+
+def test_band_stats():
+    from cineform_tpu.utils.stats import BandStats
+    rng = np.random.default_rng(0)
+    band = rng.integers(-4, 5, (64, 64)) * (rng.random((64, 64)) < 0.2)
+    st = BandStats()
+    st.add(band.astype(np.int32))
+    assert st.count == 64 * 64
+    assert 0.5 < st.zero_fraction() < 1.0
+    assert "entropy" in st.report()
+
+
+def test_bandfile_roundtrip(tmp_path):
+    from cineform_tpu.utils.bandfile import write_bandfile, read_bandfile
+    rng = np.random.default_rng(1)
+    bands = [(0, 2, 1, rng.integers(-100, 100, (30, 40)).astype(np.int16)),
+             (1, 0, 3, rng.integers(-5, 5, (12, 16)).astype(np.int16))]
+    p = str(tmp_path / "x.band")
+    write_bandfile(p, bands)
+    back = read_bandfile(p)
+    for (a, b) in zip(bands, back):
+        assert a[:3] == b[:3] and np.array_equal(a[3], b[3])
+
+
+def test_nv12_and_r210_outputs():
+    import os
+    from cineform_tpu.models.intra_host import decode_sample_to
+    G = os.path.join(os.path.dirname(__file__), "golden", "samples")
+    sample = open(os.path.join(G, "s_320x240_q4_p1.cfhd"), "rb").read()
+    nv = decode_sample_to(sample, "NV12")
+    assert len(nv) == 320 * 240 * 3 // 2
+    for f in ("r210", "DPX0", "RG30"):
+        assert len(decode_sample_to(sample, f)) == 320 * 240 * 4
