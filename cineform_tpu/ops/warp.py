@@ -87,6 +87,129 @@ def mesh_repoint_equirect(h: int, w: int, yaw: float = 0.0,
     return np.stack([ys, xs], axis=-1).astype(np.float32)
 
 
+def _center_radius(mesh: np.ndarray, h: int, w: int):
+    cy, cx = h / 2.0, w / 2.0
+    y = mesh[..., 0] - cy
+    x = mesh[..., 1] - cx
+    r = np.sqrt(x * x + y * y)
+    return y, x, np.where(r < 1e-6, 1e-6, r), cy, cx
+
+
+def _radial(mesh: np.ndarray, h: int, w: int, fn) -> np.ndarray:
+    """Apply a radial source-radius remapping r -> fn(r) about the center
+    (the shared shape of the reference's radial transforms)."""
+    y, x, r, cy, cx = _center_radius(mesh, h, w)
+    s = fn(r) / r
+    return np.stack([y * s + cy, x * s + cx], axis=-1).astype(np.float32)
+
+
+def mesh_scale(mesh: np.ndarray, rowscale: float, colscale: float) -> np.ndarray:
+    """geomesh_transform_scale: scale source coords about the center."""
+    h, w = mesh.shape[:2]
+    y, x, _, cy, cx = _center_radius(mesh, h, w)
+    return np.stack([y * rowscale + cy, x * colscale + cx], -1).astype(np.float32)
+
+
+def mesh_pan(mesh: np.ndarray, left: float, top: float) -> np.ndarray:
+    """geomesh_transform_pan: shift source coordinates."""
+    out = np.array(mesh, copy=True)
+    out[..., 0] += top
+    out[..., 1] += left
+    return out
+
+
+def mesh_flip(mesh: np.ndarray, horizontal: bool = True) -> np.ndarray:
+    """geomesh_transform_flip_horz / _vert."""
+    h, w = mesh.shape[:2]
+    out = np.array(mesh, copy=True)
+    if horizontal:
+        out[..., 1] = (w - 1) - out[..., 1]
+    else:
+        out[..., 0] = (h - 1) - out[..., 0]
+    return out
+
+
+def mesh_fisheye(h: int, w: int, max_theta_degrees: float) -> np.ndarray:
+    """Rectilinear -> equidistant fisheye (geomesh_transform_fisheye):
+    destination radius maps to theta = atan(r/f), source r = f*theta-scaled."""
+    f = math.sqrt(w * w + h * h) / 2.0 / math.tan(math.radians(max_theta_degrees))
+    return _radial(mesh_identity(h, w), h, w, lambda r: f * np.arctan(r / f))
+
+
+def mesh_orthographic(h: int, w: int, max_theta_degrees: float) -> np.ndarray:
+    """geomesh_transform_orthographic: source r = f*sin(atan(r/f))."""
+    f = math.sqrt(w * w + h * h) / 2.0 / math.tan(math.radians(max_theta_degrees))
+    return _radial(mesh_identity(h, w), h, w,
+                   lambda r: f * np.sin(np.arctan(r / f)))
+
+
+def mesh_stereographic(h: int, w: int, max_theta_degrees: float) -> np.ndarray:
+    """geomesh_transform_stereographic: source r = 2f*tan(atan(r/f)/2)."""
+    f = math.sqrt(w * w + h * h) / 2.0 / math.tan(math.radians(max_theta_degrees))
+    return _radial(mesh_identity(h, w), h, w,
+                   lambda r: 2 * f * np.tan(np.arctan(r / f) / 2))
+
+
+def mesh_gopro_to_rectilinear(h: int, w: int,
+                              sensorcrop: float = 1.0) -> np.ndarray:
+    """geomesh_transform_gopro_to_rectilinear: the GoPro cubic lens model
+    theta(r) = -12.0479 r^3 + 5.3339 r^2 + 80.5605 r degrees (r normalized
+    to the half-diagonal and scaled by the sensor crop), mapped back to a
+    rectilinear destination (`WarpLib/GeoMeshTransform.c:215`)."""
+    maxradius = math.sqrt(w * w + h * h) / 2.0
+
+    def fn(r):
+        rn = (r / maxradius) * sensorcrop
+        theta = np.where(rn < 1.0,
+                         -12.047899 * rn ** 3 + 5.3339 * rn ** 2 + 80.560545 * rn,
+                         -8.94 * rn ** 2 + 70.92 * rn + 11.85)
+        # destination rectilinear radius for this ray angle
+        return np.tan(np.radians(np.clip(theta, 0, 89.0))) \
+            / math.tan(math.radians(80.560545 * sensorcrop)) * maxradius
+
+    # invert numerically: sample the forward curve and interpolate
+    rr = np.linspace(0, maxradius * 1.5, 2048)
+    dd = fn(rr)
+    y, x, r, cy, cx = _center_radius(mesh_identity(h, w), h, w)
+    rsrc = np.interp(r, dd, rr)
+    s = rsrc / r
+    return np.stack([y * s + cy, x * s + cx], axis=-1).astype(np.float32)
+
+
+def mesh_horizontal_stretch_poly(mesh: np.ndarray, a: float, b: float,
+                                 c: float) -> np.ndarray:
+    """geomesh_transform_horizontal_stretch_poly: per-row horizontal
+    stretch x -= W*(2x/W-1)*(a*yn^2 + b*yn + c) (GoPro SuperView-style
+    anamorphic corrector, `GeoMeshTransform.c:528`)."""
+    h, w = mesh.shape[:2]
+    out = np.array(mesh, copy=True)
+    xn = out[..., 1] / w
+    yn = out[..., 0] / h - 0.5
+    out[..., 1] = out[..., 1] - w * (2 * xn - 1) * (a * yn * yn + b * yn + c)
+    return out
+
+
+# GoPro camera presets: (sensorcrop, stretch a) per (product, fov) family —
+# a compact functional stand-in for the per-resolution calibration tables in
+# `WarpLib/GeoMeshGoPro.c` (wide/medium/narrow crops; SuperView stretch).
+GOPRO_PRESETS = {
+    ("hero3", "wide"): {"sensorcrop": 1.0},
+    ("hero3", "medium"): {"sensorcrop": 0.75},
+    ("hero3", "narrow"): {"sensorcrop": 0.5},
+    ("hero4", "superview"): {"sensorcrop": 1.0,
+                             "stretch": (0.21, 0.0, 0.0)},
+}
+
+
+def mesh_gopro_preset(h: int, w: int, product: str = "hero3",
+                      fov: str = "wide") -> np.ndarray:
+    p = GOPRO_PRESETS[(product, fov)]
+    mesh = mesh_gopro_to_rectilinear(h, w, p["sensorcrop"])
+    if "stretch" in p:
+        mesh = mesh_horizontal_stretch_poly(mesh, *p["stretch"])
+    return mesh
+
+
 # ---------------------------------------------------------------------------
 # Apply (geomesh_apply_bilinear equivalent)
 # ---------------------------------------------------------------------------

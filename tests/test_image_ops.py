@@ -123,3 +123,32 @@ def test_bilinear_scaler():
     out = scaler.scale_bilinear(img, 80, 80)
     assert out.shape == (80, 80)
     assert abs(float(out.mean()) - float(img.mean())) < 0.01
+
+
+def test_warp_radial_transforms():
+    """New geomesh transforms: identity at center, monotone radii, flips."""
+    from cineform_tpu.ops import warp as wp
+    h, w = 64, 96
+    for build in (lambda: wp.mesh_fisheye(h, w, 90),
+                  lambda: wp.mesh_orthographic(h, w, 90),
+                  lambda: wp.mesh_stereographic(h, w, 90),
+                  lambda: wp.mesh_gopro_to_rectilinear(h, w, 1.0),
+                  lambda: wp.mesh_gopro_preset(h, w, "hero4", "superview")):
+        m = build()
+        assert m.shape == (h, w, 2)
+        # center maps to (approximately) the center
+        cy, cx = h / 2, w / 2
+        assert abs(m[h // 2, w // 2, 0] - cy) < 2
+        assert abs(m[h // 2, w // 2, 1] - cx) < 2
+        assert np.isfinite(m).all()
+    m = wp.mesh_identity(h, w)
+    f = wp.mesh_flip(m, horizontal=True)
+    assert np.allclose(f[..., 1], (w - 1) - m[..., 1])
+    s = wp.mesh_scale(m, 2.0, 0.5)
+    assert s[..., 1].max() <= w  # x compressed
+    p = wp.mesh_pan(m, 3.0, -2.0)
+    assert np.allclose(p[..., 1] - m[..., 1], 3.0)
+    st = wp.mesh_horizontal_stretch_poly(m, 0.21, 0.0, 0.0)
+    # center row unchanged, top/bottom rows stretched toward center
+    assert np.allclose(st[h // 2, :, 1], m[h // 2, :, 1], atol=0.1)
+    assert (st[0, -1, 1] < m[0, -1, 1])
