@@ -120,3 +120,26 @@ def test_nv12_and_r210_outputs():
     assert len(nv) == 320 * 240 * 3 // 2
     for f in ("r210", "DPX0", "RG30"):
         assert len(decode_sample_to(sample, f)) == 320 * 240 * 4
+
+
+def test_cfhd_tool_cli(tmp_path):
+    """The TestCFHD-analog CLI drives encode/decode/info end to end."""
+    import subprocess, sys
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    raw = tmp_path / "f.yuy2"
+    raw.write_bytes(yuy2_frame(320, 240, 1))
+    cf = tmp_path / "f.cfhd"
+    out = tmp_path / "o.yuy2"
+    env = {"PATH": os.environ.get("PATH", ""), "JAX_PLATFORMS": "cpu",
+           "HOME": os.environ.get("HOME", "/root")}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(root, "tools", "cfhd_tool.py")
+    for args in ([ "encode", str(raw), str(cf), "--width", "320", "--height", "240"],
+                 ["decode", str(cf), str(out)],
+                 ["info", str(cf)],
+                 ["fuzz", "--trials", "5"]):
+        r = subprocess.run([sys.executable, tool] + args, capture_output=True,
+                           text=True, env=env, cwd=root)
+        assert r.returncode == 0, (args, r.stdout, r.stderr)
+    assert len(out.read_bytes()) == 320 * 240 * 2
