@@ -57,10 +57,10 @@ def main() -> None:
         def body(_, carry):
             acc, cur = carry
             out = codec.inverse(codec.dequantize(codec.forward(cur)))
-            # xor feedback keeps iterations data-dependent; its full-frame
-            # read+write adds ~0.06 ms/frame of measurement overhead, so the
-            # reported figure slightly understates the codec itself
-            return acc + out.astype(jnp.int32).sum(), jnp.bitwise_xor(cur, out)
+            # the decoded frames ARE the next iteration's input: data
+            # dependence with zero carrier overhead (re-encoding decoded
+            # video is also a realistic transcode pattern)
+            return acc + out[0, 0, 0].astype(jnp.int32), out
         acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), frames))
         return acc
 
