@@ -389,14 +389,27 @@ class Decoder:
             if parse_sample(sample).sample_type == 2:   # GROUP (2-frame GOP)
                 # consecutive DecodeSample calls on the same group return
                 # frame 1 then frame 2, like the reference decoder
+                import hashlib
+
                 from cineform_tpu.models import gop_host
+                if self.resolution != DecodedResolution.FULL:
+                    raise CFHDError(ErrorCode.BADFORMAT,
+                                    "scaled GOP decode is not supported")
+                if self.output_format not in (PixelFormat.YUY2,
+                                              PixelFormat.UYVY):
+                    raise CFHDError(ErrorCode.BADFORMAT,
+                                    f"GOP decode to {self.output_format!r}")
+                key = hashlib.sha256(sample).digest()
                 if getattr(self, "_gop_cache", None) is None or \
-                        self._gop_cache[0] != sample[:64]:
+                        self._gop_cache[0] != key:
                     f0, f1 = gop_host.decode_group(sample)
-                    self._gop_cache = (sample[:64], f0, f1, 0)
+                    self._gop_cache = (key, f0, f1, 0)
                 key, f0, f1, idx = self._gop_cache
                 out = f0 if idx == 0 else f1
                 self._gop_cache = (key, f0, f1, 1 - idx)
+                if self.output_format == PixelFormat.UYVY:
+                    a = np.frombuffer(out, np.uint8).reshape(-1, 4)
+                    out = np.ascontiguousarray(a[:, [1, 0, 3, 2]]).tobytes()
             elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
@@ -410,22 +423,30 @@ class Decoder:
                           PixelFormat.R210: "r210", PixelFormat.DPX0: "DPX0",
                           PixelFormat.RG30: "RG30"}[self.output_format]
                 out = intra_host.decode_sample_to(sample, fourcc)
+            row_bytes = {
+                PixelFormat.YUY2: 2 * self.width,
+                PixelFormat.UYVY: 2 * self.width,
+                PixelFormat.YU64: 4 * self.width,
+                PixelFormat.V210: ((self.width + 47) // 48) * 128,
+                PixelFormat.RG48: 6 * self.width,
+                PixelFormat.BGRA: 4 * self.width,
+                PixelFormat.B64A: 8 * self.width,
+                PixelFormat.NV12: 3 * self.width // 2,
+                PixelFormat.R210: 4 * self.width,
+                PixelFormat.DPX0: 4 * self.width,
+                PixelFormat.RG30: 4 * self.width,
+            }[self.output_format]
+            if len(out) != self.height * row_bytes:
+                raise CFHDError(
+                    ErrorCode.BADSAMPLE,
+                    f"decoded {len(out)} bytes, expected "
+                    f"{self.height * row_bytes}")
+            return np.frombuffer(out, dtype=np.uint8).reshape(
+                self.height, row_bytes)
         except CFHDError:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
-        row_bytes = {
-            PixelFormat.YUY2: 2 * self.width, PixelFormat.UYVY: 2 * self.width,
-            PixelFormat.YU64: 4 * self.width,
-            PixelFormat.V210: ((self.width + 47) // 48) * 128,
-            PixelFormat.RG48: 6 * self.width, PixelFormat.BGRA: 4 * self.width,
-            PixelFormat.B64A: 8 * self.width,
-            PixelFormat.NV12: 3 * self.width // 2,
-            PixelFormat.R210: 4 * self.width, PixelFormat.DPX0: 4 * self.width,
-            PixelFormat.RG30: 4 * self.width,
-        }[self.output_format]
-        return np.frombuffer(out, dtype=np.uint8).reshape(
-            self.height, row_bytes)
 
     # CFHD_CloseDecoder
     def close(self) -> None:

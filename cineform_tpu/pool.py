@@ -46,6 +46,7 @@ class EncoderPool:
         self._lock = threading.Condition()
         self._prepared = False
         self._metadata = None
+        self._tls = threading.local()
 
     # CFHD_GetAsyncInputFormats
     def get_input_formats(self) -> tuple[api.PixelFormat, ...]:
@@ -60,9 +61,15 @@ class EncoderPool:
         probe = api.Encoder()  # validates arguments
         probe.prepare_to_encode(width, height, pixel_format, encoded_format,
                                 encoding_flags, quality)
+        if encoding_flags & api.EncodingFlags.YUV_2FRAME_GOP:
+            # GOP pairing is stateful across submissions; the async pool
+            # encodes each job independently (intra), like TestCFHD -E
+            raise api.CFHDError(api.ErrorCode.BADFORMAT,
+                                "2-frame GOP is not supported in the pool")
         self.width, self.height = width, height
         self.quality = probe.quality
         self.pixel_format = pixel_format
+        self.encoded_format = encoded_format
         self._prepared = True
 
     # CFHD_AttachEncoderPoolMetadata
@@ -84,22 +91,28 @@ class EncoderPool:
             self._executor.shutdown(wait=True)
             self._executor = None
 
-    def _encode_job(self, frame_number: int, frame: bytes, metadata) -> bytes:
-        from cineform_tpu.models import intra_host
-        from cineform_tpu.ref import intra as xf
+    def _worker_encoder(self) -> api.Encoder:
+        """Per-worker-thread sample encoder, mirroring the reference's
+        CAsyncEncoder-owns-a-CSampleEncoder design (`AsyncEncoder.h:30-41`).
+        Dispatching through api.Encoder gives every advertised input format
+        the same per-format encode path as the synchronous API."""
+        enc = getattr(self._tls, "encoder", None)
+        if enc is None:
+            enc = api.Encoder()
+            enc.prepare_to_encode(self.width, self.height, self.pixel_format,
+                                  self.encoded_format, api.EncodingFlags.NONE,
+                                  self.quality)
+            self._tls.encoder = enc
+        return enc
 
-        if self.pixel_format == api.PixelFormat.YUY2:
-            return intra_host.encode_sample(
-                frame, self.width, self.height, int(self.quality),
-                frame_number=frame_number, metadata=metadata)
-        if self.pixel_format == api.PixelFormat.V210:
-            planes = xf.unpack_v210(frame, self.width, self.height)
-        else:
-            planes = xf.unpack_yu64(frame, self.width, self.height)
-        code = api.Encoder._INPUT_FORMAT_CODES[self.pixel_format]
-        return intra_host.encode_sample_planes(
-            planes, self.width, self.height, int(self.quality),
-            input_format=code, frame_number=frame_number, metadata=metadata)
+    def _encode_job(self, frame_number: int, frame: bytes, metadata) -> bytes:
+        enc = self._worker_encoder()
+        # per-frame metadata snapshot + explicit frame numbering
+        # (`EncoderPool.cpp:389-449`)
+        enc._metadata = metadata
+        enc._frame_number = frame_number - 1
+        enc.encode_sample(frame)
+        return enc.get_sample_data()
 
     # CFHD_EncodeAsyncSample
     def encode_async_sample(self, frame_number: int,
@@ -116,12 +129,15 @@ class EncoderPool:
             self._in_flight += 1
         if isinstance(frame, np.ndarray):
             frame = np.ascontiguousarray(frame).tobytes()
-        # metadata snapshot per frame (`EncoderPool.cpp:389-449`)
-        fut = self._executor.submit(self._encode_job, frame_number, frame,
-                                    metadata or self._metadata)
-        fut.add_done_callback(self._job_done)
+        # metadata snapshot per frame (`EncoderPool.cpp:389-449`).  Submit
+        # and enqueue under one lock acquisition so the pending order always
+        # matches submission order (submit does not block).
         with self._lock:
+            fut = self._executor.submit(self._encode_job, frame_number, frame,
+                                        metadata or self._metadata)
+            fut.add_done_callback(self._job_done)
             self._pending.append((frame_number, fut))
+            self._lock.notify_all()
 
     def _job_done(self, _fut: Future) -> None:
         with self._lock:
@@ -130,9 +146,14 @@ class EncoderPool:
 
     # CFHD_WaitForSample
     def wait_for_sample(self, timeout: float | None = None) -> SampleBuffer:
+        """Blocks until the next in-order sample is ready, like
+        `CFHD_WaitForSample` (`EncoderPool.cpp:297`): an empty queue waits
+        for the next submission rather than raising."""
         with self._lock:
-            if not self._pending:
-                raise api.CFHDError(api.ErrorCode.UNEXPECTED, "queue empty")
+            while not self._pending:
+                if not self._lock.wait(timeout=timeout):
+                    raise api.CFHDError(api.ErrorCode.THREAD_WAIT_FAILED,
+                                        "timed out waiting for a sample")
             frame_number, fut = self._pending.popleft()
             self._lock.notify_all()
         data = fut.result(timeout=timeout)

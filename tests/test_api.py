@@ -140,3 +140,61 @@ def test_decoder_gop_sample():
         gold = np.frombuffer(_golden(f"gop_320x240_q4_p1.f{i}.yuy2"),
                              np.uint8).reshape(240, 640)
         assert np.array_equal(out[:226], gold[:226])
+
+
+def test_decoder_gop_output_format_and_resolution_contract():
+    """GOP decode honors the prepared output format (UYVY repack) and raises
+    CFHDError for unsupported scaled/format combos (ADVICE round 1)."""
+    import pytest
+
+    gold_grp = open("tests/golden/samples/gop_320x240_q4_p1.cfhd.f1",
+                    "rb").read()
+
+    dec = api.CFHD_OpenDecoder()
+    dec.prepare_to_decode(320, 240, api.PixelFormat.UYVY, sample=gold_grp)
+    uyvy = dec.decode_sample(gold_grp)
+
+    dec2 = api.CFHD_OpenDecoder()
+    dec2.prepare_to_decode(320, 240, api.PixelFormat.YUY2, sample=gold_grp)
+    yuy2 = dec2.decode_sample(gold_grp)
+    assert uyvy.tobytes() != yuy2.tobytes()
+    quad = np.frombuffer(yuy2.tobytes(), np.uint8).reshape(-1, 4)
+    assert uyvy.tobytes() == np.ascontiguousarray(
+        quad[:, [1, 0, 3, 2]]).tobytes()
+
+    dec3 = api.CFHD_OpenDecoder()
+    dec3.prepare_to_decode(320, 240, api.PixelFormat.YUY2,
+                           resolution=api.DecodedResolution.HALF,
+                           sample=gold_grp)
+    with pytest.raises(api.CFHDError) as ei:
+        dec3.decode_sample(gold_grp)
+    assert ei.value.code == api.ErrorCode.BADFORMAT
+
+    dec4 = api.CFHD_OpenDecoder()
+    dec4.prepare_to_decode(320, 240, api.PixelFormat.RG48, sample=gold_grp)
+    with pytest.raises(api.CFHDError) as ei:
+        dec4.decode_sample(gold_grp)
+    assert ei.value.code == api.ErrorCode.BADFORMAT
+
+
+def test_decoder_gop_cache_keyed_on_full_sample():
+    """Two distinct GROUP samples sharing a 64-byte header prefix must not
+    alias in the decode cache (ADVICE round 1)."""
+    from cineform_tpu.models import gop_host
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    w, h = 64, 48
+    f0a, f1a = yuy2_frame(w, h, 1), yuy2_frame(w, h, 2)
+    f0b, f1b = yuy2_frame(w, h, 3), yuy2_frame(w, h, 4)
+    sa = gop_host.encode_group(f0a, f1a, w, h, 4, 1)
+    sb = gop_host.encode_group(f0b, f1b, w, h, 4, 1)
+    assert sa != sb
+
+    dec = api.CFHD_OpenDecoder()
+    dec.prepare_to_decode(w, h, api.PixelFormat.YUY2, sample=sa)
+    outa = dec.decode_sample(sa).tobytes()
+    dec.decode_sample(sa)  # frame 2 of group A
+    outb = dec.decode_sample(sb).tobytes()
+    assert outa != outb
+    ref_b0, _ = gop_host.decode_group(sb)
+    assert outb == ref_b0

@@ -49,3 +49,67 @@ def test_pool_argument_validation():
         pool.start()  # not prepared
     with pytest.raises(api.CFHDError):
         pool.encode_async_sample(1, b"")  # not started
+
+
+def test_pool_all_advertised_formats_encode():
+    """Every format advertised by get_input_formats actually encodes and
+    matches the synchronous Encoder byte-for-byte (ADVICE round 1)."""
+    from cineform_tpu.utils import testframes
+
+    w, h = 64, 48
+    rng = np.random.default_rng(7)
+    for pf in api.CFHD_CreateEncoderPool(2, 2).get_input_formats():
+        enc = api.Encoder()
+        enc.prepare_to_encode(w, h, pf)
+        row_bytes = {
+            api.PixelFormat.YUY2: 2 * w, api.PixelFormat.UYVY: 2 * w,
+            api.PixelFormat.V210: ((w + 47) // 48) * 128,
+            api.PixelFormat.YU64: 4 * w, api.PixelFormat.RG48: 6 * w,
+            api.PixelFormat.B64A: 8 * w, api.PixelFormat.RG64: 8 * w,
+            api.PixelFormat.BGRA: 4 * w, api.PixelFormat.RG24: 3 * w,
+            api.PixelFormat.BYR4: 2 * w, api.PixelFormat.BYR5: 3 * w // 2,
+        }.get(pf, 4 * w)
+        frame = rng.integers(0, 256, size=h * row_bytes, dtype=np.uint8)
+        frame = frame.tobytes()
+        enc.encode_sample(frame)
+        ref = enc.get_sample_data()
+
+        pool = api.CFHD_CreateEncoderPool(2, 4)
+        pool.prepare_to_encode(w, h, pf)
+        pool.start()
+        pool.encode_async_sample(1, frame)
+        buf = pool.wait_for_sample(timeout=60)
+        pool.stop()
+        assert buf.get_encoded_sample() == ref, pf
+
+
+def test_pool_wait_blocks_for_next_submission():
+    """CFHD_WaitForSample on an empty queue blocks for the next submitted
+    sample instead of raising (`EncoderPool.cpp:297`)."""
+    import threading
+    import time
+
+    w, h = 64, 48
+    pool = api.CFHD_CreateEncoderPool(1, 2)
+    pool.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    pool.start()
+    frame = yuy2_frame(w, h, 1)
+    result = []
+
+    def waiter():
+        result.append(pool.wait_for_sample(timeout=30))
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    time.sleep(0.2)
+    pool.encode_async_sample(1, frame)
+    t.join(timeout=30)
+    pool.stop()
+    assert result and result[0].frame_number == 1
+
+    import pytest
+    with pytest.raises(api.CFHDError):
+        pool2 = api.CFHD_CreateEncoderPool(1, 2)
+        pool2.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+        pool2.start()
+        pool2.wait_for_sample(timeout=0.1)
