@@ -103,6 +103,87 @@ class IntraCodec:
             for ch, (lowpass, bands) in enumerate(coeffs)]
         return ops.pack_yuy2(*planes)
 
+    # --- fully device-side encode: transform + quant + entropy pack ---------
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def forward_packed(self, frames: jnp.ndarray, cap_bits: int = 8):
+        """(B, H, 2W) uint8 YUY2 -> per-channel (lowpass planes, per-band
+        packed entropy payloads).  The complete CFHD band bitstreams are
+        produced in HBM: forward DWT + quantization (ops/intra_transform)
+        feeding the device entropy coder (entropy/device) in one traced
+        program — the TPU re-expression of the whole of EncodeSample's hot
+        path (`Codec/encoder.c:1897` through `encoder.c:5702`)."""
+        from cineform_tpu.entropy import device as edev
+
+        coeffs = self.forward(frames)
+        out = []
+        for lowpass, bands in coeffs:
+            packed = []
+            for bs in bands:
+                h, w = bs[0].shape[-2:]
+                pitch = intra_host.align16_pixels(w)
+                trio = jnp.stack(bs, axis=1)          # (B, 3, h, w)
+                trio = jnp.pad(trio, ((0, 0), (0, 0), (0, 0),
+                                      (0, pitch - w)))
+                flat = trio.reshape(trio.shape[0], 3, h * pitch)
+                packed.append(edev.encode_band_arrays(
+                    flat, codeset=17, cap_bits_per_elem=cap_bits))
+            out.append((lowpass, packed))
+        return out
+
+    def encode_batch_device(self, frames: np.ndarray,
+                            first_frame_number: int = 1,
+                            metadata: intra_host.EncoderMetadata | None = None,
+                            cap_bits: int = 8) -> list[bytes]:
+        """Encode (B, H, 2W) uint8 YUY2 frames to CFHD samples with the
+        entropy coding done on device; the host only slices packed words
+        and writes headers.  Byte-identical to encode_batch."""
+        from cineform_tpu.entropy import device as edev
+
+        p = self.params
+        result = jax.device_get(self.forward_packed(jnp.asarray(frames),
+                                                    cap_bits))
+        batch = frames.shape[0]
+        samples = []
+        fallback = None
+        for i in range(batch):
+            channels = []
+            for ch, (lowpass, packed) in enumerate(result):
+                payloads = []
+                for k, (words, nbits, ovf) in enumerate(packed):
+                    trio = []
+                    for b in range(3):
+                        if ovf[i, b]:
+                            trio.append(None)      # host re-encode below
+                        else:
+                            trio.append(edev.finish_band_bytes(
+                                words[i, b], int(nbits[i, b]), 17))
+                    payloads.append(tuple(trio))
+                plane_w = self.width if ch == 0 else self.width // 2
+                bands = [tuple(np.broadcast_to(
+                    np.int32(0), (self.height >> (k + 1), plane_w >> (k + 1)))
+                    for _ in range(3)) for k in range(len(packed))]
+                if any(t is None for tr in payloads for t in tr):
+                    # capacity overflow: recompute this frame's coefficients
+                    # on host for the C++ fallback coder (rare)
+                    if fallback is None:
+                        from cineform_tpu.ref import intra as xf
+                        fb_planes = xf.unpack_yuy2(
+                            np.ascontiguousarray(frames[i]).tobytes(),
+                            self.width, self.height, p.precision)
+                        fallback = [intra_host.transform_channel(pl, p, c)
+                                    for c, pl in enumerate(fb_planes)]
+                    bands = fallback[ch].bands
+                channels.append(intra_host.EncodedChannel(
+                    lowpass=np.asarray(lowpass[i]),
+                    bands=bands,
+                    quants=p.band_quant(ch),
+                    payloads=payloads))
+            samples.append(intra_host.write_sample(
+                channels, p, first_frame_number + i, metadata))
+            fallback = None
+        return samples
+
     # --- full encode/decode (device transform + host entropy) ----------------
 
     def encode_batch(self, frames: np.ndarray,

@@ -71,6 +71,9 @@ class EncodedChannel:
     lowpass: np.ndarray                      # int32 (h, w), raw 16-bit values
     bands: list                              # [(lh, hl, hh)] per wavelet, finest first
     quants: list                             # [(q_lh, q_hl, q_hh)] per wavelet
+    # optional precomputed entropy payloads [(bytes, bytes, bytes)] per
+    # wavelet (device entropy path); None entries fall back to host coding
+    payloads: list | None = None
 
 
 def transform_channel(plane: np.ndarray, params: IntraParams,
@@ -216,7 +219,12 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
                 w.put_tag(tags.BAND_SCALE, scales[k][b + 1])
                 w.push_chunk(tags.SUBBAND_SIZE)
                 w.put_tag(tags.BAND_HEADER, 0)
-                w.put_bytes(encode_band_payload(bands[b]))
+                payload = (enc.payloads[k][b]
+                           if enc.payloads is not None
+                           and enc.payloads[k] is not None
+                           and enc.payloads[k][b] is not None else None)
+                w.put_bytes(payload if payload is not None
+                            else encode_band_payload(bands[b]))
                 w.pad_to_tag()
                 w.put_tag(tags.BAND_TRAILER, 0)
                 w.pop_chunk()

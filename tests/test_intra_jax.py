@@ -60,3 +60,38 @@ def test_jax_roundtrip_psnr():
     b = decoded.astype(np.float64)
     psnr = 10 * np.log10(255.0 ** 2 / np.mean((a - b) ** 2))
     assert psnr > 40.0, psnr
+
+
+def test_device_entropy_samples_byte_exact():
+    """encode_batch_device (transform + quant + entropy pack all on device)
+    produces samples byte-identical to the host oracle and the reference
+    SDK golden, including the capacity-overflow host fallback."""
+    import numpy as np
+
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.models.intra import IntraCodec
+    from cineform_tpu.utils.testframes import yuy2_frame
+    from tests.test_intra_host import _metadata_from
+
+    w, h = 320, 240
+    frames = np.stack([
+        np.frombuffer(yuy2_frame(w, h, p), np.uint8).reshape(h, 2 * w)
+        for p in (1, 2)])
+    codec = IntraCodec(width=w, height=h, quality=4)
+    dev = codec.encode_batch_device(frames, first_frame_number=1)
+    for i in range(2):
+        ref = intra_host.encode_sample(frames[i].tobytes(), w, h, 4,
+                                       frame_number=1 + i)
+        assert dev[i] == ref
+
+    gold = open("tests/golden/samples/s_320x240_q4_p1.cfhd", "rb").read()
+    dev2 = codec.encode_batch_device(frames[:1], 1, _metadata_from(gold))
+    assert dev2[0] == gold
+
+    # capacity overflow on noise content falls back byte-exactly
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=(1, h, 2 * w), dtype=np.uint8)
+    s_small = codec.encode_batch_device(noisy, 7, cap_bits=2)
+    s_ref = intra_host.encode_sample(noisy[0].tobytes(), w, h, 4,
+                                     frame_number=7)
+    assert s_small[0] == s_ref
