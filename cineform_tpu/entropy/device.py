@@ -29,12 +29,31 @@ on TPU; measured in tools/microbench_tpu.py):
      table); the magnitude codebook (<=256 entries) is the one real
      lookup and is kept tiny.
 
-3. **Bit packing** (`tree_pack`): codes concatenate MSB-first.  Packing
-   is a log-tree reduction over (buffer, bitlen) pairs: combine(A, B) =
-   A | (B >> lenA).  The per-pair variable shift is an elementwise
-   vector shift (VPU-native), the word-level offset is a O(log W) select
-   tree of static rolls.  The tree runs over the whole flattened band,
-   producing the complete packed payload and its bit length in HBM.
+3. **Bit packing**: codes concatenate MSB-first, in two stages.
+
+   a. Within chunks of 256 elements (`tree_pack`): a log-tree reduction
+      over (buffer, bitlen) pairs: combine(A, B) = A | (B >> lenA).  The
+      per-pair variable shift is an elementwise vector shift
+      (VPU-native), the word-level offset is a O(log W) select tree of
+      static rolls.  Buffer widths stay small (<=96 words), where the
+      tree is cheap; running it to full band width is O(N log^2 N) and
+      was measured at 43 ms/frame on a v5e — hence stage (b).
+
+   b. Across chunks (`_concat_chunks`): chunk payload bit-lengths are
+      prefix-summed (the chunk axis is ~N/256, tiny), each chunk buffer
+      is funnel-shifted by its offset phase, and the shifted words are
+      compacted to their global word positions by a low-bit-first
+      distance-doubling shift network.  Word w of chunk c sits at source
+      slot u = c*M + w and must land at target W_c + w, a displacement
+      D(u) = u - target that is constant inside a chunk and, with one
+      spare slot per chunk, can be assigned to the empty tail slots so
+      that it is monotone nondecreasing with steps in {0, 1} across the
+      whole array.  That property makes merge-on-collision safe: if two
+      slots ever collide at one position during low-bit-first doubling,
+      monotonicity + unit steps force them to share the same final
+      target word, and contributions to one output word occupy disjoint
+      bits, so OR (or max for the remaining-displacement carry) merges
+      them exactly.
 
 Capacity: buffers are sized `cap_bits_per_coeff` (default 8; CFHD bands
 typically pack to ~2 bits/coeff); an overflow flag per band triggers the
@@ -209,11 +228,28 @@ def _compand_magnitude(mag: jnp.ndarray, t: EncodeTables) -> jnp.ndarray:
     return jnp.minimum(m, t.max_mag)
 
 
+def _floor_div(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Exact floor(x / c) for 0 <= x < 2^24 via f32 reciprocal + fixup.
+
+    Integer division lowers to a long instruction sequence on the TPU
+    VPU; the f32 multiply is off by at most one ulp, corrected exactly."""
+    if c & (c - 1) == 0:
+        return x >> (c.bit_length() - 1)
+    q = (x.astype(jnp.float32) * np.float32(1.0 / c)).astype(jnp.int32)
+    rr = x - q * c
+    return q + (rr >= c).astype(jnp.int32) - (rr < 0).astype(jnp.int32)
+
+
 def band_codes(values: jnp.ndarray, t: EncodeTables, chunk: int = 256):
     """(…, N) quantized coefficients -> per-element (bits u32, sizes i32).
 
     Concatenating the nonzero-size codes MSB-first (plus the band-end
-    code) reproduces EncodeQuantLongRuns byte-for-byte."""
+    code) reproduces EncodeQuantLongRuns byte-for-byte.
+
+    TPU notes: the magnitude codebook lookup is a fused 256-way select
+    chain (measured 18x faster than lax.gather at this size on v5e,
+    tools/microbench_lut.py), with (size, bits) packed into one int32 so
+    the chain runs once; divisions use the f32-reciprocal trick."""
     v = values.astype(jnp.int32)
     zero = v == 0
     r, d = _run_geometry(zero, chunk)
@@ -225,21 +261,28 @@ def band_codes(values: jnp.ndarray, t: EncodeTables, chunk: int = 256):
     rem = r
     a = jnp.zeros_like(r)
     for cnt, bits_s, size_s in zip(t.run_counts, t.run_bits, t.run_sizes):
-        span = (rem // cnt) * cnt
-        hit = (d >= a) & (d < a + span) & ((d - a) % cnt == 0)
+        span = _floor_div(rem, cnt) * cnt if cnt > 1 else rem
+        da = d - a
+        hit = (da >= 0) & (da < span)
+        if cnt > 1:
+            hit &= (da - _floor_div(da, cnt) * cnt) == 0
         zbits = jnp.where(hit, jnp.uint32(bits_s), zbits)
         zsize = jnp.where(hit, jnp.int32(size_s), zsize)
         rem = rem - span
         a = a + span
 
-    # nonzero path: clamp, compand, sign
+    # nonzero path: clamp, compand, sign.  The codebook lookup packs
+    # size<<26 | bits (bits < 2^26 for all codesets) into one select chain.
     vc = jnp.clip(v, -(cb.VALUE_TABLE_LENGTH >> 1) + 1,
                   (cb.VALUE_TABLE_LENGTH >> 1) - 1)
     mag = _compand_magnitude(jnp.abs(vc), t)
-    mag_bits = jnp.asarray(np.asarray(t.mag_bits, np.uint32))
-    mag_sizes = jnp.asarray(np.asarray(t.mag_sizes, np.int32))
-    code = mag_bits[mag]
-    csize = mag_sizes[mag]
+    packed_tbl = [(int(s) << 26) | int(b)
+                  for b, s in zip(t.mag_bits, t.mag_sizes)]
+    packed = jnp.full(v.shape, packed_tbl[0], jnp.int32)
+    for i in range(1, len(packed_tbl)):
+        packed = jnp.where(mag == i, jnp.int32(packed_tbl[i]), packed)
+    code = (packed & jnp.int32((1 << 26) - 1)).astype(jnp.uint32)
+    csize = packed >> 26
     nbits = (code << 1) | (vc < 0).astype(jnp.uint32)
     nsize = csize + 1
 
@@ -318,27 +361,103 @@ def tree_pack(bits: jnp.ndarray, sizes: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Band-level convenience (correctness path; jit-able end to end)
+# Stage 3b: across-chunk assembly by monotone-displacement compaction
 # ---------------------------------------------------------------------------
 
-def _pad_pow2(n: int, chunk: int) -> int:
-    total = max(chunk, n)
-    p = 1
-    while p < total:
-        p <<= 1
-    return p
+# Within-chunk buffer capacity in bits per element.  12 is generous (CFHD
+# bands pack to ~2); a denser chunk flags overflow -> host fallback.
+_CHUNK_CAP_BITS = 12
 
+
+def _concat_chunks(bufs: jnp.ndarray, lens: jnp.ndarray, out_words: int):
+    """Concatenate per-chunk packed buffers into one contiguous bitstream.
+
+    bufs: (…, T, W) uint32 left-aligned chunk payloads; lens: (…, T) i32
+    payload bit lengths.  Returns (words (…, out_words) uint32,
+    total_bits (…,) i32).
+
+    Word w of chunk c must land at global word (off_c >> 5) + w after the
+    buffer is funnel-shifted right by the offset phase (off_c & 31).
+    With M = W + 2 source slots per chunk, the displacement
+    D(slot) = source_index - target_index is constant inside a chunk and
+    can be extended over the empty tail slots so it is monotone
+    nondecreasing with steps in {0, 1} across the whole flattened array.
+    A low-bit-first distance-doubling shift network then compacts every
+    slot to its target; the step property guarantees any two slots that
+    collide mid-flight share the same final target word, and same-word
+    contributions occupy disjoint bits, so OR (max for the
+    remaining-displacement carry) merges them exactly."""
+    *lead, t, w = bufs.shape
+    m = w + 2
+    lens = lens.astype(jnp.int32)
+    csum = jnp.cumsum(lens, axis=-1)
+    total = csum[..., -1]
+    off = csum - lens                                  # exclusive prefix
+    phase = (off & 31).astype(jnp.uint32)[..., None]   # (…, T, 1)
+    wc = off >> 5                                      # (…, T)
+
+    # funnel shift each chunk buffer right by its phase, into W + 1 words
+    zpad = [(0, 0)] * (bufs.ndim - 1)
+    cur = jnp.pad(bufs, zpad + [(0, 1)])               # cur[w] = buf[w]
+    ext = jnp.pad(bufs, zpad + [(1, 0)])               # ext[w] = buf[w-1]
+    shifted = jnp.where(phase == 0, cur,
+                        (cur >> phase) | (ext << ((jnp.uint32(32) - phase)
+                                                  & jnp.uint32(31))))
+    val = jnp.pad(shifted, zpad + [(0, m - w - 1)])    # (…, T, M)
+
+    # displacement assignment: used slots carry D_c = c*M - wc; empty tail
+    # slots step +1 toward the next chunk's D (or +0 from the first slot
+    # of a zero-length chunk, whose head shares the previous tail word)
+    used = jnp.where(lens > 0, ((off & 31) + lens + 31) >> 5, 0)
+    cidx = jnp.arange(t, dtype=jnp.int32)
+    d_c = cidx * m - wc                                # (…, T)
+    d_end = (jnp.int32(t * m) - (total >> 5))[..., None]
+    d_next = jnp.concatenate([d_c[..., 1:], d_end], axis=-1)
+    widx = jnp.arange(m, dtype=jnp.int32)
+    base = jnp.where((used > 0)[..., None], widx - used[..., None] + 1, widx)
+    rem = jnp.where(widx < used[..., None], d_c[..., None],
+                    jnp.minimum(d_c[..., None] + base, d_next[..., None]))
+
+    val = val.reshape(*lead, t * m)
+    rem = rem.reshape(*lead, t * m).astype(jnp.int32)
+
+    # low-bit-first distance doubling with OR / max merge
+    n = t * m
+    k = 0
+    while (1 << k) <= n:
+        s = 1 << k
+        bit = (rem >> k) & 1
+        mov_val = _shift_last(val, s)
+        mov_rem = _shift_last(rem, s)
+        mov_bit = (mov_rem >> k) & 1
+        val = jnp.where(bit == 0, val, 0) | jnp.where(mov_bit == 1, mov_val, 0)
+        rem = jnp.maximum(jnp.where(bit == 0, rem, 0),
+                          jnp.where(mov_bit == 1, mov_rem - s, 0))
+        k += 1
+
+    words = val[..., :out_words]
+    if out_words > n:
+        words = jnp.pad(words, [(0, 0)] * len(lead) + [(0, out_words - n)])
+    return words, total
+
+
+# ---------------------------------------------------------------------------
+# Band-level convenience (correctness path; jit-able end to end)
+# ---------------------------------------------------------------------------
 
 def encode_band_arrays(values: jnp.ndarray, codeset: int = 17,
                        cap_bits_per_elem: int = 8, chunk: int = 256):
     """(…, N) coefficients -> (words, total_bits, overflow) on device.
 
-    N is padded internally to a power of two with nonzero sentinels (a
-    virtual band-terminating value that emits nothing), preserving the
-    tail zero run exactly as the real band end would."""
+    N is padded internally to a multiple of `chunk` with nonzero
+    sentinels (a virtual band-terminating value that emits nothing),
+    preserving the tail zero run exactly as the real band end would.
+    Packing is two-level: log-tree within chunks, then the
+    monotone-displacement compaction assembles chunks (running the tree
+    to full band width is O(N log^2 N) and measured 43 ms/frame)."""
     t = encode_tables(codeset)
     *lead, n = values.shape
-    npad = _pad_pow2(n, chunk)
+    npad = -(-max(n, chunk) // chunk) * chunk
     if npad != n:
         pad = [(0, 0)] * (len(lead)) + [(0, npad - n)]
         values = jnp.pad(values, pad, constant_values=1)  # nonzero sentinel
@@ -347,7 +466,15 @@ def encode_band_arrays(values: jnp.ndarray, codeset: int = 17,
         idx = jnp.arange(npad) < n
         sizes = jnp.where(idx, sizes, 0)
         bits = jnp.where(idx, bits, jnp.uint32(0))
-    return tree_pack(bits, sizes, cap_bits_per_elem=cap_bits_per_elem)
+
+    nt = npad // chunk
+    bufs, lens, c_ovf = tree_pack(
+        bits.reshape(*lead, nt, chunk), sizes.reshape(*lead, nt, chunk),
+        cap_bits_per_elem=max(_CHUNK_CAP_BITS, cap_bits_per_elem))
+    out_words = _word_cap(max(cap_bits_per_elem * n, 64))
+    words, total = _concat_chunks(bufs, lens, out_words)
+    overflow = c_ovf.any(axis=-1) | (total > 32 * out_words)
+    return words, total, overflow
 
 
 def finish_band_bytes(words: np.ndarray, total_bits: int,
