@@ -134,12 +134,13 @@ def _shift_last(x: jnp.ndarray, offset: int) -> jnp.ndarray:
 def _suffix_zero_run(zero: jnp.ndarray) -> jnp.ndarray:
     """z[i] = number of consecutive zero flags starting at i (within the
     last axis).  Log-doubling: z saturated at 2^k extends by the run that
-    starts 2^k later."""
+    starts 2^k later.  int16 lanes (chunk <= 32767) halve VPU/HBM traffic."""
     n = zero.shape[-1]
-    z = zero.astype(jnp.int32)
+    assert n <= 32767
+    z = zero.astype(jnp.int16)
     k = 1
     while k < n:
-        z = jnp.where(z == k, k + _shift_last(z, k), z)
+        z = jnp.where(z == k, jnp.int16(k) + _shift_last(z, k), z)
         k <<= 1
     return z
 
@@ -147,10 +148,11 @@ def _suffix_zero_run(zero: jnp.ndarray) -> jnp.ndarray:
 def _prefix_zero_run(zero: jnp.ndarray) -> jnp.ndarray:
     """p[i] = number of consecutive zero flags ending at i (inclusive)."""
     n = zero.shape[-1]
-    p = zero.astype(jnp.int32)
+    assert n <= 32767
+    p = zero.astype(jnp.int16)
     k = 1
     while k < n:
-        p = jnp.where(p == k, k + _shift_last(p, -k), p)
+        p = jnp.where(p == k, jnp.int16(k) + _shift_last(p, -k), p)
         k <<= 1
     return p
 
@@ -174,8 +176,8 @@ def _run_geometry(zero: jnp.ndarray, chunk: int = 256):
     #   S[c] = first_suf[c] if first_suf[c] < chunk else chunk + S[c+1]
     # a saturating suffix scan over the (tiny) chunk axis — same doubling,
     # saturation threshold k*chunk.  P[c] mirrors it for prefixes.
-    first_suf = suf[..., 0]               # (…, t)
-    last_pre = pre[..., -1]
+    first_suf = suf[..., 0].astype(jnp.int32)   # (…, t)
+    last_pre = pre[..., -1].astype(jnp.int32)
     s_g = first_suf
     k = 1
     while k < t:
@@ -348,7 +350,7 @@ def tree_pack(bits: jnp.ndarray, sizes: jnp.ndarray,
                                                 & jnp.uint32(31))))
         woff = (la >> 5)[..., None]
         step = 1
-        while step < w_new:
+        while step <= w_cur:      # woff = la>>5 <= w_cur, not w_new
             b = jnp.where((woff & step) != 0, _shift_words(b, step), b)
             step <<= 1
         buf = a | b
