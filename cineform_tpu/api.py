@@ -116,6 +116,7 @@ class DecodedResolution(enum.IntEnum):
 
 class EncodingFlags(enum.IntFlag):
     NONE = 0
+    YUV_INTERLACED = 1 << 0      # CFHD_ENCODING_FLAGS_YUV_INTERLACED
     YUV_2FRAME_GOP = 1 << 4      # CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP
 
 
@@ -195,6 +196,10 @@ class Encoder:
                 pixel_format != PixelFormat.YUY2:
             raise CFHDError(ErrorCode.BADFORMAT,
                             "2-frame GOP supports YUY2 input")
+        if (encoding_flags & EncodingFlags.YUV_INTERLACED) and not \
+                (encoding_flags & EncodingFlags.YUV_2FRAME_GOP):
+            raise CFHDError(ErrorCode.BADFORMAT,
+                            "interlaced encoding requires the 2-frame GOP")
         self.width = width
         self.height = height
         self.pixel_format = pixel_format
@@ -282,7 +287,9 @@ class Encoder:
                 self._sample = gop_host.encode_group(
                     first, buf.tobytes(), self.width, self.height,
                     int(self.quality), self._frame_number // 2,
-                    self._metadata)
+                    self._metadata,
+                    progressive=not (self.encoding_flags
+                                     & EncodingFlags.YUV_INTERLACED))
         elif self.pixel_format == PixelFormat.YUY2:
             self._sample = intra_host.encode_sample(
                 buf.tobytes(), self.width, self.height, int(self.quality),
@@ -378,12 +385,30 @@ class Decoder:
         self._prepared = True
         return width, height, output_format
 
+    # CFHD_SetActiveMetadata(TAG_CHANNELS_ACTIVE) analog
+    def set_channels_active(self, mask: int) -> None:
+        """Select the video channel(s) of stereo 3D samples: 1 = left,
+        2 = right (`Codec/decoder.c:10310-10340` channel_mask)."""
+        self._channels_active = int(mask)
+
     # CFHD_DecodeSample
     def decode_sample(self, sample: bytes) -> np.ndarray:
         from cineform_tpu.models import intra_host
 
         if not self._prepared:
             raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
+        try:
+            from cineform_tpu.bitstream import parse_sample
+            info0 = parse_sample(sample)
+            if info0.encoded_channels >= 2:
+                from cineform_tpu.models import stereo
+                eyes = stereo.split_3d(sample)
+                mask = getattr(self, "_channels_active", 1)
+                sample = eyes[1] if mask == 2 and len(eyes) > 1 else eyes[0]
+        except CFHDError:
+            raise
+        except Exception:
+            pass
         try:
             from cineform_tpu.bitstream import parse_sample
             if parse_sample(sample).sample_type == 2:   # GROUP (2-frame GOP)
@@ -470,48 +495,60 @@ def CFHD_CreateEncoderPool(thread_count: int, queue_length: int):
 
 
 class StereoEncoder:
-    """Dual-channel stereoscopic 3D encoder.
+    """Dual-channel stereoscopic 3D encoder: both eyes in ONE sample.
 
-    The open-source reference encodes stereo as per-eye CFHD samples with
-    shared metadata (TAG_VIDEO_CHANNELS 'VCHN' = 2, eye selection by
-    TAG_CHANNEL_QUALITY / track order; `Codec/encoder.c:2102-2107`
-    video_channels).  This wrapper mirrors that: one Encoder per eye plus
-    the 3D metadata block on every sample.
+    The reference encodes 3D by looping EncodeSample over the video
+    channels, appending each eye's bitstream 16-byte-aligned into one
+    sample with ENCODED_CHANNELS/ENCODED_CHANNEL_NUMBER header tags and a
+    VCHN metadata tuple (`Codec/encoder.c:3407-3438`, `7548-7556`).
+    Byte-exact vs the reference encoder (tests/test_stereo.py).
     """
 
-    class _StereoMetadata:
-        """Global metadata block plus the 3D channel-count tuple."""
-
-        def block(self) -> bytes:
-            from cineform_tpu import metadata as md
-            from cineform_tpu.models.intra_host import EncoderMetadata
-
-            extra = md.Metadata().add("VCHN", 2, typ=md.TYPE_HIDDEN)
-            return EncoderMetadata().block() + extra.block()
-
     def __init__(self) -> None:
-        self._eyes = (Encoder(), Encoder())
-        self._md = self._StereoMetadata()
+        self._prepared = False
+        self._frame_number = 0
+        self._metadata = None
+        self._sample: bytes | None = None
 
     def prepare_to_encode(self, width: int, height: int,
                           pixel_format: PixelFormat,
                           encoded_format: EncodedFormat = EncodedFormat.YUV_422,
                           quality: EncodingQuality = EncodingQuality.FILMSCAN1,
                           ) -> None:
-        for e in self._eyes:
-            e.prepare_to_encode(width, height, pixel_format, encoded_format,
+        if pixel_format != PixelFormat.YUY2 or \
+                encoded_format != EncodedFormat.YUV_422:
+            raise CFHDError(ErrorCode.BADFORMAT,
+                            "stereo 3D supports YUY2 4:2:2")
+        probe = Encoder()
+        probe.prepare_to_encode(width, height, pixel_format, encoded_format,
                                 EncodingFlags.NONE, quality)
-            e.attach_metadata(self._md)
+        self.width, self.height = width, height
+        self.quality = probe.quality
+        self._prepared = True
+
+    def attach_metadata(self, metadata) -> None:
+        self._metadata = metadata
 
     def encode_sample(self, left: bytes | np.ndarray,
-                      right: bytes | np.ndarray) -> tuple[bytes, bytes]:
-        """Encode one stereo pair; returns (left_sample, right_sample)."""
-        out = []
-        for eye, frame in zip(self._eyes, (left, right)):
-            eye.encode_sample(frame)
-            out.append(eye.get_sample_data())
-        return tuple(out)
+                      right: bytes | np.ndarray) -> bytes:
+        """Encode one stereo pair into a single dual-channel sample."""
+        from cineform_tpu.models import stereo
+
+        if not self._prepared:
+            raise CFHDError(ErrorCode.ENCODING_NOT_STARTED)
+        to_bytes = (lambda f: np.ascontiguousarray(f).tobytes()
+                    if isinstance(f, np.ndarray) else bytes(f))
+        self._frame_number += 1
+        self._sample = stereo.encode_sample_3d(
+            to_bytes(left), to_bytes(right), self.width, self.height,
+            int(self.quality), self._frame_number, self._metadata)
+        return self._sample
+
+    def get_sample_data(self) -> bytes:
+        if self._sample is None:
+            raise CFHDError(ErrorCode.NOT_FINISHED)
+        return self._sample
 
     def close(self) -> None:
-        for e in self._eyes:
-            e.close()
+        self._prepared = False
+        self._sample = None

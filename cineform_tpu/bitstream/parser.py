@@ -29,6 +29,8 @@ class BandInfo:
     coding_flags: int
     data: bytes          # entropy payload (incl. band-end code + padding)
     data_offset: int     # absolute byte offset of payload in the sample
+    peak_level: int = 0  # PEAK_LEVEL (250 * quant) when peaks-coded
+    peaks: np.ndarray | None = None   # int16 peak values (dequantized)
 
 
 @dataclass
@@ -48,6 +50,9 @@ class ChannelInfo:
 @dataclass
 class IntraSample:
     sample_type: int = 0
+    sample_end: int = 0          # end offset of the first video channel
+    encoded_channels: int = 1    # 2 = stereo 3D dual-channel sample
+    channel_number: int = 0
     transform_type: int = 0
     num_frames: int = 1
     num_channels: int = 0
@@ -129,13 +134,26 @@ def parse_sample(data: bytes) -> IntraSample:
                         quantization=band.get("quantization", 1),
                         scale=band.get("scale", 0),
                         coding_flags=band.get("coding_flags", 0),
+                        peak_level=band.get("peak_level", 0),
                         data=payload,
                         data_offset=pos + 4,
                     ))
                     band.clear()
                 pos += size
-            elif kind in (tags.LEVEL_SIZE, tags.SAMPLE_SIZE):
-                pass  # these chunks span content we parse inline
+            elif kind == tags.PEAK_TABLE:
+                # peaks table for the band just closed
+                # (`Codec/encoder.c:6574`): int16 LE dequantized values
+                if chan is not None and chan.bands:
+                    chan.bands[-1].peaks = np.frombuffer(
+                        data[pos:pos + size], dtype="<i2")
+                pos += size
+            elif kind == tags.SAMPLE_SIZE:
+                # record where this (eye's) sample ends; a stereo 3D sample
+                # holds a second full sample 16-byte-aligned after it
+                if s.sample_end == 0:
+                    s.sample_end = pos + size
+            elif kind == tags.LEVEL_SIZE:
+                pass  # spans content we parse inline
             else:
                 pos += size  # unknown sized chunk: skip
             continue
@@ -243,6 +261,12 @@ def parse_sample(data: bytes) -> IntraSample:
             band["quantization"] = value
         elif at == tags.BAND_SCALE:
             band["scale"] = value
+        elif at == tags.PEAK_LEVEL:
+            band["peak_level"] = value
+        elif at == tags.ENCODED_CHANNELS:
+            s.encoded_channels = value
+        elif at == tags.ENCODED_CHANNEL_NUMBER:
+            s.channel_number = value
         elif at == tags.FRAME_TRAILER:
             break
         # MARKER, margins, borders, divisors, trailers: no state needed

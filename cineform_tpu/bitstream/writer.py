@@ -59,6 +59,12 @@ class SampleWriter:
         """PutTagMarker: a required MARKER pair (`Codec/bitstream.c`)."""
         self.put_tag(tags.MARKER, code)
 
+    def patch_tag_value(self, offset: int, value: int) -> None:
+        """Rewrite the 16-bit value of the tag pair at byte `offset`
+        (the reference patches peak-table offsets the same way,
+        `Codec/encoder.c:6560-6567`)."""
+        self.buf[offset + 2:offset + 4] = struct.pack(">H", value & 0xFFFF)
+
     # --- chunk handling -------------------------------------------------------
 
     def push_chunk(self, tag: int) -> None:

@@ -280,9 +280,16 @@ def band_codes(values: jnp.ndarray, t: EncodeTables, chunk: int = 256):
     mag = _compand_magnitude(jnp.abs(vc), t)
     packed_tbl = [(int(s) << 26) | int(b)
                   for b, s in zip(t.mag_bits, t.mag_sizes)]
-    packed = jnp.full(v.shape, packed_tbl[0], jnp.int32)
-    for i in range(1, len(packed_tbl)):
-        packed = jnp.where(mag == i, jnp.int32(packed_tbl[i]), packed)
+
+    def _tree(lo: int, hi: int):
+        # balanced select tree: depth log2(entries) instead of a
+        # 256-deep chain (same VPU work, far shallower dependency graph)
+        if hi - lo == 1:
+            return jnp.int32(packed_tbl[lo])
+        mid = (lo + hi) // 2
+        return jnp.where(mag < mid, _tree(lo, mid), _tree(mid, hi))
+
+    packed = _tree(0, len(packed_tbl))
     code = (packed & jnp.int32((1 << 26) - 1)).astype(jnp.uint32)
     csize = packed >> 26
     nbits = (code << 1) | (vc < 0).astype(jnp.uint32)

@@ -65,14 +65,22 @@ class GopCodec:
 
     def encode_batch(self, frames0: np.ndarray, frames1: np.ndarray,
                      first_frame_number: int = 1,
-                     metadata=None) -> list[bytes]:
+                     metadata=None,
+                     frame_numbers: list[int] | None = None,
+                     assemble_count: int | None = None) -> list[bytes]:
         """Encode (B, H, 2W) uint8 YUY2 frame pairs to GROUP samples
-        (byte-exact vs the reference encoder)."""
+        (byte-exact vs the reference encoder).  `metadata` may be one
+        EncoderMetadata or one per group."""
         coeffs = jax.device_get(self.forward(jnp.asarray(frames0),
                                              jnp.asarray(frames1)))
         batch = frames0.shape[0]
+        if frame_numbers is None:
+            frame_numbers = [first_frame_number + i for i in range(batch)]
+        if not isinstance(metadata, (list, tuple)):
+            metadata = [metadata] * batch
         samples = []
-        for i in range(batch):
+        for i in range(batch if assemble_count is None
+                       else min(batch, assemble_count)):
             channels = []
             for ch, (lowpass, bands) in enumerate(coeffs):
                 bd = {k: tuple(np.asarray(b[i]) for b in bs)
@@ -81,5 +89,5 @@ class GopCodec:
                                  self.band_quant(ch)))
             samples.append(gop_host.write_group(
                 channels, self.width, self.height, self.quality,
-                first_frame_number + i, metadata))
+                frame_numbers[i], metadata[i]))
         return samples

@@ -66,10 +66,11 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
     dither); False uses w1 for a true frame-1 reconstruction (higher
     fidelity than the reference's own full-res group decode)."""
     s = parse_sample(sample)
+    progressive = s.progressive
     frames0 = []
     frames1 = []
-    d0 = xf.decode_dither_rows(s.height, 0) if dither else None
-    d1 = xf.decode_dither_rows(s.height, 1) if dither else None
+    d0 = xf.decode_dither_rows(s.height, 0) if dither and progressive else None
+    d1 = xf.decode_dither_rows(s.height, 1) if dither and progressive else None
     for c in s.channels:
         bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
         for b in c.bands:
@@ -82,14 +83,26 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
                 bands[widx][slot] = raw.reshape(b.height, b.width).astype(
                     np.int32) * b.quantization
                 continue
+            codeset = 18 if b.coding_flags == 18 else 17
             pitchw = align16_pixels(b.width)
             vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][slot] = vals.reshape(b.height, pitchw)[:, :b.width]
+                b.data, pitchw * b.height, codeset=codeset,
+                quant=b.quantization)
+            vals = vals.reshape(b.height, pitchw)[:, :b.width]
+            if b.peaks is not None and b.peak_level:
+                # peaks substitution (`Codec/decoder.c:19809`): decoded
+                # values beyond PEAK_LEVEL take the exact value from the
+                # band's peak table, in raster order
+                mask = np.abs(vals) > b.peak_level
+                flat = vals[mask]
+                flat[:] = b.peaks[:flat.size]
+                vals = vals.copy()
+                vals[mask] = flat
+            bands[widx][slot] = vals
         wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
         f0, f1 = gxf.inverse_channel_gop(
             c.lowpass, wb, reference_compatible=reference_compatible,
-            dither0=d0, dither1=d1)
+            dither0=d0, dither1=d1, progressive=progressive)
         frames0.append(f0)
         frames1.append(f1)
     return xf.pack_yuy2(*frames0), xf.pack_yuy2(*frames1)
@@ -115,22 +128,29 @@ def sequence_header(width: int, height: int,
 
 def encode_group(frame0_yuy2: bytes, frame1_yuy2: bytes, width: int,
                  height: int, quality: int, frame_number: int = 1,
-                 metadata: EncoderMetadata | None = None) -> bytes:
-    """Encode two YUY2 frames into one CFHD GROUP sample."""
+                 metadata: EncoderMetadata | None = None,
+                 progressive: bool = True) -> bytes:
+    """Encode two YUY2 frames into one CFHD GROUP sample.
+
+    progressive=False encodes interlaced input through the HORZTEMP frame
+    wavelets (`Codec/wavelet.c:6076` TransformForwardFrameYUV)."""
     f0 = xf.unpack_yuy2(frame0_yuy2, width, height)
     f1 = xf.unpack_yuy2(frame1_yuy2, width, height)
     channels = []
     for ch in range(3):
-        bq = gxf.fieldplus_band_quant(quality, tags.PRECISION_10BIT, ch)
-        lowpass, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq)
+        bq = gxf.fieldplus_band_quant(quality, tags.PRECISION_10BIT, ch,
+                                      progressive=progressive)
+        lowpass, bands = gxf.forward_channel_gop(f0[ch], f1[ch], bq,
+                                                 progressive=progressive)
         channels.append((lowpass, bands, bq))
     return write_group(channels, width, height, quality, frame_number,
-                       metadata)
+                       metadata, progressive=progressive)
 
 
 def write_group(channels, width: int, height: int, quality: int,
                 frame_number: int = 1,
-                metadata: EncoderMetadata | None = None) -> bytes:
+                metadata: EncoderMetadata | None = None,
+                progressive: bool = True) -> bytes:
     """Assemble a GROUP sample from per-channel (lowpass, bands, quants)."""
     scales = gxf.fieldplus_band_scales()
     prescale = gxf.FIELDPLUS_PRESCALE
@@ -166,7 +186,10 @@ def write_group(channels, width: int, height: int, quality: int,
     w.put_tag_optional(tags.PROTECTION_FLAGS, 0)
     w.put_tag_optional(tags.PICTURE_ASPECT_X, 16)
     w.put_tag_optional(tags.PICTURE_ASPECT_Y, 9)
-    w.put_tag(tags.SAMPLE_FLAGS, tags.SAMPLE_FLAGS_PROGRESSIVE)
+    if progressive:
+        # interlaced groups omit the tag; the decoder's default is
+        # interlaced (`PutVideoGroupHeader` emits it only when progressive)
+        w.put_tag(tags.SAMPLE_FLAGS, tags.SAMPLE_FLAGS_PROGRESSIVE)
 
     channel_sizes = []
     for ch in range(3):
@@ -195,7 +218,8 @@ def write_group(channels, width: int, height: int, quality: int,
         w.pop_chunk()
 
         def put_band(band_number, subband, vals, quant, scale, coding_flags=1,
-                     encoding=tags.BAND_ENCODING_RUNLENGTHS):
+                     encoding=tags.BAND_ENCODING_RUNLENGTHS, codeset=17,
+                     peaks=False):
             bh, bw = vals.shape
             w.put_marker(tags.BAND_START_CODE)
             w.put_tag(tags.BAND_NUMBER, band_number)
@@ -206,6 +230,21 @@ def write_group(channels, width: int, height: int, quality: int,
             w.put_tag(tags.BAND_ENCODING, encoding)
             w.put_tag(tags.BAND_QUANTIZATION, quant)
             w.put_tag(tags.BAND_SCALE, scale)
+            peak_list = None
+            if peaks:
+                # peaks coding (`Codec/encoder.c:6445` EncodeQuantLongRuns
+                # PlusPeaks): values beyond PEAK_THRESHOLD=250 are clamped
+                # to +/-251 in the stream and carried dequantized in a
+                # PEAK_TABLE chunk after the band; three placeholder tags
+                # sit in the band header and are patched afterwards.
+                vals = np.asarray(vals, np.int32)
+                mask = np.abs(vals) > 250
+                peak_list = (vals[mask] * quant).astype(np.int16)
+                vals = np.where(mask, np.sign(vals) * 251, vals)
+                peak_off = len(w.buf)
+                w.put_tag_optional(tags.PEAK_TABLE_OFFSET_L, 0)
+                w.put_tag_optional(tags.PEAK_TABLE_OFFSET_H, 0)
+                w.put_tag_optional(tags.PEAK_LEVEL, 0)
             w.push_chunk(tags.SUBBAND_SIZE)
             w.put_tag(tags.BAND_HEADER, 0)
             if encoding == tags.BAND_ENCODING_16BIT:
@@ -215,10 +254,20 @@ def write_group(channels, width: int, height: int, quality: int,
                 w.put_bytes(np.asarray(vals, dtype=">i2").tobytes())
                 w.put_bytes(_bandend_marker())
             else:
-                w.put_bytes(intra_host.encode_band_payload(vals))
+                w.put_bytes(intra_host.encode_band_payload(vals, codeset))
             w.pad_to_tag()
             w.put_tag(tags.BAND_TRAILER, 0)
             w.pop_chunk()
+            if peaks and len(peak_list):
+                n = len(peak_list)
+                rounded = n + (n & 1)
+                delta = len(w.buf) - peak_off
+                w.patch_tag_value(peak_off, delta & 0xFFFF)
+                w.patch_tag_value(peak_off + 4, delta >> 16)
+                w.patch_tag_value(peak_off + 8, (250 * quant) & 0xFFFF)
+                w.put_tag_optional(tags.PEAK_TABLE, rounded // 2)
+                data = peak_list.astype("<i2").tobytes()
+                w.put_bytes(data + b"\x00\x00" * (rounded - n))
 
         def wavelet_header(wtype, number, level, nbands, bw, bh, lscale):
             w.put_marker(tags.HIGHPASS_START_CODE)
@@ -279,17 +328,25 @@ def write_group(channels, width: int, height: int, quality: int,
         w.put_tag(tags.BAND_TRAILER, 0)
         w.pop_chunk()
         wavelet_trailer()
-        # w1 (number 2, level 1): subbands 11-13 (frame 1)
+        # w1 (number 2, level 1): subbands 11-13 (frame 1).  Interlaced
+        # frame wavelets difference-code the HL band and entropy-code it
+        # with codeset 18 (band coding_flags 18).
+        def frame_band_args(i):
+            if progressive or i != 1:
+                return dict()
+            return dict(coding_flags=18, codeset=18, peaks=True)
         bh, bw = bands[1][0].shape
         wavelet_header(tags.WAVELET_TYPE_HORZTEMP, 2, 1, 4, bw, bh, scales[1][0])
         for i in range(3):
-            put_band(i + 1, i + 11, bands[1][i], bq[1][i], scales[1][i + 1])
+            put_band(i + 1, i + 11, bands[1][i], bq[1][i], scales[1][i + 1],
+                     **frame_band_args(i))
         wavelet_trailer()
         # w0 (number 1, level 1): subbands 14-16 (frame 0)
         bh, bw = bands[0][0].shape
         wavelet_header(tags.WAVELET_TYPE_HORZTEMP, 1, 1, 4, bw, bh, scales[0][0])
         for i in range(3):
-            put_band(i + 1, i + 14, bands[0][i], bq[0][i], scales[0][i + 1])
+            put_band(i + 1, i + 14, bands[0][i], bq[0][i], scales[0][i + 1],
+                     **frame_band_args(i))
         wavelet_trailer()
         w.pad_to_tag()
         channel_sizes.append(len(w.buf) - start)

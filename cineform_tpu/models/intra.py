@@ -43,29 +43,72 @@ def _dither_planes(height: int, width: int):
             xf.decode_dither_plane(rows, width // 2).astype(np.uint8))
 
 
+# device-side input unpack + the COLOR_FORMAT code for the sample header
+# (codes match api.Encoder._INPUT_FORMAT_CODES / `Codec/frame.c` unpackers)
+_DEVICE_FORMATS = {
+    "YUY2": {"code": 2, "row_bytes": lambda w: 2 * w},
+    "UYVY": {"code": 1, "row_bytes": lambda w: 2 * w},
+    "YU64": {"code": 12, "row_bytes": lambda w: 4 * w},
+    "V210": {"code": 10, "row_bytes": lambda w: ((w + 47) // 48) * 128},
+}
+
+
 @dataclass(frozen=True)
 class IntraCodec:
-    """A compiled intra codec for one (width, height, quality) config."""
+    """A compiled intra codec for one (width, height, quality, input) config."""
 
     width: int
     height: int
     quality: int
+    input_format: str = "YUY2"
 
     @property
     def params(self) -> IntraParams:
         return IntraParams(width=self.width, height=self.height,
                            quality=self.quality)
 
+    @property
+    def row_bytes(self) -> int:
+        return _DEVICE_FORMATS[self.input_format]["row_bytes"](self.width)
+
+    @property
+    def input_format_code(self) -> int:
+        return _DEVICE_FORMATS[self.input_format]["code"]
+
+    def _unpack(self, frames: jnp.ndarray):
+        p = self.params
+        if self.input_format == "YUY2":
+            return ops.unpack_yuy2(frames, p.precision)
+        if self.input_format == "UYVY":
+            return ops.unpack_uyvy(frames, p.precision)
+        if self.input_format == "YU64":
+            return ops.unpack_yu64(frames)
+        if self.input_format == "V210":
+            return ops.unpack_v210(frames, self.width)
+        raise ValueError(self.input_format)
+
+    def _unpack_host(self, raw: bytes):
+        from cineform_tpu.ref import intra as xf
+
+        p = self.params
+        if self.input_format == "YUY2":
+            return xf.unpack_yuy2(raw, self.width, self.height, p.precision)
+        if self.input_format == "UYVY":
+            return xf.unpack_uyvy(raw, self.width, self.height, p.precision)
+        if self.input_format == "YU64":
+            return xf.unpack_yu64(raw, self.width, self.height)
+        return xf.unpack_v210(raw, self.width, self.height)
+
     # --- device programs ---------------------------------------------------
 
     @partial(jax.jit, static_argnums=0)
     def forward(self, frames: jnp.ndarray):
-        """(B, H, 2W) uint8 YUY2 -> per-channel (lowpass, bands) pytree.
+        """(B, H, row_bytes) uint8 input -> per-channel (lowpass, bands).
 
         Everything here is traced once per config and fused by XLA.
         """
         p = self.params
-        y, v, u = ops.unpack_yuy2(frames, p.precision)
+        y, v, u = self._unpack(frames)
         prescale = p.prescale
         out = []
         for ch, plane in enumerate((y, v, u)):
@@ -131,22 +174,36 @@ class IntraCodec:
             out.append((lowpass, packed))
         return out
 
+    def _frame_meta(self, batch, first_frame_number, frame_numbers, metadata):
+        if frame_numbers is None:
+            frame_numbers = [first_frame_number + i for i in range(batch)]
+        if not isinstance(metadata, (list, tuple)):
+            metadata = [metadata] * batch
+        return frame_numbers, metadata
+
     def encode_batch_device(self, frames: np.ndarray,
                             first_frame_number: int = 1,
-                            metadata: intra_host.EncoderMetadata | None = None,
-                            cap_bits: int = 8) -> list[bytes]:
-        """Encode (B, H, 2W) uint8 YUY2 frames to CFHD samples with the
+                            metadata=None,
+                            cap_bits: int = 8,
+                            frame_numbers: list[int] | None = None,
+                            assemble_count: int | None = None
+                            ) -> list[bytes]:
+        """Encode (B, H, row_bytes) uint8 frames to CFHD samples with the
         entropy coding done on device; the host only slices packed words
-        and writes headers.  Byte-identical to encode_batch."""
+        and writes headers.  Byte-identical to encode_batch.  `metadata`
+        may be a single EncoderMetadata or one per frame."""
         from cineform_tpu.entropy import device as edev
 
         p = self.params
         result = jax.device_get(self.forward_packed(jnp.asarray(frames),
                                                     cap_bits))
         batch = frames.shape[0]
+        frame_numbers, metadata = self._frame_meta(
+            batch, first_frame_number, frame_numbers, metadata)
         samples = []
         fallback = None
-        for i in range(batch):
+        for i in range(batch if assemble_count is None
+                       else min(batch, assemble_count)):
             channels = []
             for ch, (lowpass, packed) in enumerate(result):
                 payloads = []
@@ -167,10 +224,8 @@ class IntraCodec:
                     # capacity overflow: recompute this frame's coefficients
                     # on host for the C++ fallback coder (rare)
                     if fallback is None:
-                        from cineform_tpu.ref import intra as xf
-                        fb_planes = xf.unpack_yuy2(
-                            np.ascontiguousarray(frames[i]).tobytes(),
-                            self.width, self.height, p.precision)
+                        fb_planes = self._unpack_host(
+                            np.ascontiguousarray(frames[i]).tobytes())
                         fallback = [intra_host.transform_channel(pl, p, c)
                                     for c, pl in enumerate(fb_planes)]
                     bands = fallback[ch].bands
@@ -180,7 +235,8 @@ class IntraCodec:
                     quants=p.band_quant(ch),
                     payloads=payloads))
             samples.append(intra_host.write_sample(
-                channels, p, first_frame_number + i, metadata))
+                channels, p, frame_numbers[i], metadata[i],
+                input_format=self.input_format_code))
             fallback = None
         return samples
 
@@ -188,13 +244,16 @@ class IntraCodec:
 
     def encode_batch(self, frames: np.ndarray,
                      first_frame_number: int = 1,
-                     metadata: intra_host.EncoderMetadata | None = None
+                     metadata=None,
+                     frame_numbers: list[int] | None = None
                      ) -> list[bytes]:
-        """Encode (B, H, 2W) uint8 YUY2 frames to CFHD samples."""
+        """Encode (B, H, row_bytes) uint8 frames to CFHD samples."""
         coeffs = jax.device_get(self.forward(jnp.asarray(frames)))
         p = self.params
         samples = []
         batch = frames.shape[0]
+        frame_numbers, metadata = self._frame_meta(
+            batch, first_frame_number, frame_numbers, metadata)
         for i in range(batch):
             channels = []
             for ch, (lowpass, bands) in enumerate(coeffs):
@@ -204,7 +263,8 @@ class IntraCodec:
                     quants=p.band_quant(ch),
                 ))
             samples.append(intra_host.write_sample(
-                channels, p, first_frame_number + i, metadata))
+                channels, p, frame_numbers[i], metadata[i],
+                input_format=self.input_format_code))
         return samples
 
     def decode_batch(self, samples: list[bytes]) -> np.ndarray:

@@ -47,6 +47,7 @@ class EncoderMetadata:
     time: str = "00:00:00"
     timecode: str = "00:00:00:00"
     unique_frame: int = 0
+    video_channels: int = 0      # VCHN: 2 = stereo 3D dual-channel
 
     def block(self) -> bytes:
         """FOURCC + 24-bit LE size + type char + payload, each padded to 4B
@@ -57,8 +58,12 @@ class EncoderMetadata:
             return fourcc + bytes([size & 0xFF, (size >> 8) & 0xFF,
                                    (size >> 16) & 0xFF]) + typ + payload + b"\0" * pad
 
+        vchn = (tup(b"VCHN", b"\x00",
+                    self.video_channels.to_bytes(4, "little"))
+                if self.video_channels else b"")
         return (
             tup(b"GUID", b"G", self.guid)
+            + vchn
             + tup(b"DATE", b"c", self.date.encode())
             + tup(b"TIME", b"c", self.time.encode())
             + tup(b"TIMC", b"c", self.timecode.encode())
@@ -83,8 +88,8 @@ def transform_channel(plane: np.ndarray, params: IntraParams,
     return EncodedChannel(lowpass=lowpass, bands=bands, quants=quants)
 
 
-def encode_band_payload(values: np.ndarray) -> bytes:
-    """Zero-pad rows to the band pitch and entropy-encode (codeset 17).
+def encode_band_payload(values: np.ndarray, codeset: int = 17) -> bytes:
+    """Zero-pad rows to the band pitch and entropy-encode.
 
     Uses the native (C++) coder; entropy/host.py is the pure-Python
     reference it is validated against."""
@@ -94,7 +99,7 @@ def encode_band_payload(values: np.ndarray) -> bytes:
     pitchw = align16_pixels(w)
     padded = np.zeros((h, pitchw), dtype=np.int32)
     padded[:, :w] = values
-    return entropy_native.encode_band_bytes(padded, codeset=17)
+    return entropy_native.encode_band_bytes(padded, codeset=codeset)
 
 
 def write_sample(channels: list[EncodedChannel], params: IntraParams,
@@ -103,7 +108,9 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
                  input_format: int = tags.COLOR_FORMAT_YUYV,
                  encoded_format: int = tags.ENCODED_FORMAT_YUV_422,
                  colorspace: int | None = tags.COLOR_SPACE_BT_709,
-                 quality_high: int = 0) -> bytes:
+                 quality_high: int = 0,
+                 video_channels: int = 0,
+                 channel_number: int = 0) -> bytes:
     """Assemble a complete CFHD intra sample."""
     w = SampleWriter()
     num_channels = len(channels)
@@ -141,6 +148,12 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
         w.put_tag(tags.PRESCALE_TABLE, pack_prescale_table(params.prescale))
     else:
         w.put_tag_optional(tags.PRESCALE_TABLE, pack_prescale_table(params.prescale))
+    if video_channels > 1:
+        # stereo 3D: both eyes share one sample (`Codec/encoder.c:7548-7556`)
+        w.put_tag_optional(tags.ENCODED_CHANNELS, video_channels)
+        w.put_tag_optional(tags.ENCODED_CHANNEL_NUMBER, channel_number)
+    elif channel_number:
+        w.put_tag_optional(tags.ENCODED_CHANNEL_NUMBER, channel_number)
 
     # --- sample size chunk + metadata + extension (encoder.c:7559-7621) -----
     w.push_chunk(tags.SAMPLE_SIZE)

@@ -291,3 +291,60 @@ def pack_yuy2(y: jnp.ndarray, v: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     h, w = y.shape[-2], y.shape[-1]
     quad = jnp.stack([y[..., 0::2], u, y[..., 1::2], v], axis=-1)
     return quad.reshape(y.shape[:-2] + (h, 2 * w)).astype(jnp.uint8)
+
+
+def unpack_uyvy(frame: jnp.ndarray, precision: int = 10):
+    """(..., H, 2W) uint8 2vuy/UYVY (U Y0 V Y1) -> (Y, V, U) planes.
+
+    Device twin of `ref.intra.unpack_uyvy` (`Codec/convert.c:5310`)."""
+    h = frame.shape[-2]
+    w2 = frame.shape[-1]
+    quad = frame.reshape(frame.shape[:-2] + (h, w2 // 4, 4)).astype(jnp.int32)
+    shift = precision - 8
+    y = quad[..., (1, 3)].reshape(frame.shape[:-2] + (h, w2 // 2)) << shift
+    u = quad[..., 0] << shift
+    v = quad[..., 2] << shift
+    return y, v, u
+
+
+def unpack_yu64(frame: jnp.ndarray):
+    """(..., H, 4W) uint8 little-endian YU64 (16-bit 4:2:2, pairs
+    [Y0 C1 Y1 C2]) -> 10-bit (Y, C1, C2) planes.
+
+    Device twin of `ref.intra.unpack_yu64` (`Codec/frame.c:1556`)."""
+    h = frame.shape[-2]
+    w4 = frame.shape[-1]
+    b = frame.reshape(frame.shape[:-2] + (h, w4 // 8, 4, 2)).astype(jnp.int32)
+    u16 = b[..., 0] | (b[..., 1] << 8)            # (..., H, W/2, 4)
+    y = u16[..., (0, 2)].reshape(frame.shape[:-2] + (h, w4 // 4)) >> 6
+    c1 = u16[..., 1] >> 6
+    c2 = u16[..., 3] >> 6
+    return y, c1, c2
+
+
+def unpack_v210(frame: jnp.ndarray, width: int):
+    """(..., H, pitch) uint8 v210 rows -> 10-bit (Y, Cr, Cb) planes.
+
+    Device twin of `ref.intra.unpack_v210` (`Codec/convert.c:3968`,
+    including the cross-wired u/v outputs).  Requires width % 48 == 0 so
+    the reference's scalar-tail Cr-lag quirk has no columns to affect
+    (the host path handles ragged widths)."""
+    assert width % 48 == 0, "device v210 unpack needs width % 48 == 0"
+    h = frame.shape[-2]
+    pitch = frame.shape[-1]
+    ngroups = width // 6
+    b = frame.reshape(frame.shape[:-2] + (h, pitch // 4, 4)).astype(jnp.int32)
+    w32 = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    g = w32[..., :4 * ngroups].reshape(frame.shape[:-2] + (h, ngroups, 4))
+    s0 = g & 0x3FF
+    s1 = (g >> 10) & 0x3FF
+    s2 = (g >> 20) & 0x3FF
+    y = jnp.stack([s1[..., 0], s0[..., 1], s2[..., 1],
+                   s1[..., 2], s0[..., 3], s2[..., 3]], axis=-1)
+    cb = jnp.stack([s0[..., 0], s1[..., 1], s2[..., 2]], axis=-1)
+    cr = jnp.stack([s2[..., 0], s0[..., 2], s1[..., 3]], axis=-1)
+    lead = frame.shape[:-2]
+    y = y.reshape(lead + (h, 6 * ngroups))[..., :width]
+    cb = cb.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
+    cr = cr.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
+    return y, cr, cb

@@ -2,11 +2,16 @@
 
 Behavioral contract: `EncoderSDK/EncoderPool.cpp:59-449` — N worker encoders
 fed from a bounded job queue, per-frame metadata snapshots, and strictly
-in-submission-order delivery through WaitForSample/TestForSample.  The
-CPU-thread pool of the reference maps naturally onto host threads here
-because the heavy stages release the GIL (NumPy kernels and the native
-entropy coder); device batching (models/intra.IntraCodec.encode_batch) is
-the higher-throughput TPU path when frames arrive in bulk.
+in-submission-order delivery through WaitForSample/TestForSample.
+
+TPU re-expression of the reference's frame-level thread parallelism
+(SURVEY §2.4): for device-capable configurations (YUY2/UYVY/v210/YU64
+4:2:2, intra or 2-frame GOP), a batcher thread drains the submission
+queue and encodes whole batches on the chip in one traced XLA program
+(`IntraCodec.forward_packed`: unpack + DWT + quant + entropy coding in
+HBM), the host writing only headers.  Other input formats run on the
+host thread pool through per-worker `api.Encoder`s, one frame per job,
+like the reference's CAsyncEncoder workers.
 """
 
 from __future__ import annotations
@@ -32,8 +37,17 @@ class SampleBuffer:
         return self.data
 
 
+_DEVICE_POOL_FORMATS = {
+    api.PixelFormat.YUY2: "YUY2", api.PixelFormat.UYVY: "UYVY",
+    api.PixelFormat.V210: "V210", api.PixelFormat.YU64: "YU64",
+}
+
+
 class EncoderPool:
     """CFHD_CreateEncoderPool .. CFHD_ReleaseEncoderPool."""
+
+    #: frames gathered per device batch (one traced XLA program)
+    DEVICE_BATCH = 8
 
     def __init__(self, thread_count: int, job_queue_length: int) -> None:
         if thread_count < 1 or job_queue_length < 1:
@@ -47,6 +61,11 @@ class EncoderPool:
         self._prepared = False
         self._metadata = None
         self._tls = threading.local()
+        self._device_codec = None
+        self._batch_queue: deque = deque()
+        self._batcher: threading.Thread | None = None
+        self._stopping = False
+        self._gop_parity = 0
 
     # CFHD_GetAsyncInputFormats
     def get_input_formats(self) -> tuple[api.PixelFormat, ...]:
@@ -57,19 +76,44 @@ class EncoderPool:
                           pixel_format: api.PixelFormat,
                           encoded_format=api.EncodedFormat.YUV_422,
                           encoding_flags=api.EncodingFlags.NONE,
-                          quality=api.EncodingQuality.FILMSCAN1) -> None:
+                          quality=api.EncodingQuality.FILMSCAN1,
+                          use_device: bool | None = None) -> None:
         probe = api.Encoder()  # validates arguments
         probe.prepare_to_encode(width, height, pixel_format, encoded_format,
                                 encoding_flags, quality)
-        if encoding_flags & api.EncodingFlags.YUV_2FRAME_GOP:
-            # GOP pairing is stateful across submissions; the async pool
-            # encodes each job independently (intra), like TestCFHD -E
+        self.gop = bool(encoding_flags & api.EncodingFlags.YUV_2FRAME_GOP)
+        if encoding_flags & api.EncodingFlags.YUV_INTERLACED:
             raise api.CFHDError(api.ErrorCode.BADFORMAT,
-                                "2-frame GOP is not supported in the pool")
+                                "interlaced GOP is not supported in the pool")
+        device_fmt = _DEVICE_POOL_FORMATS.get(pixel_format)
+        if device_fmt == "V210" and width % 48:
+            device_fmt = None              # ragged v210 tail: host path
+        if use_device is None:
+            use_device = device_fmt is not None
+        if use_device and device_fmt is None:
+            raise api.CFHDError(api.ErrorCode.BADFORMAT,
+                                f"no device path for {pixel_format!r}")
+        if self.gop and not (use_device and pixel_format
+                             == api.PixelFormat.YUY2):
+            # GOP pairing is stateful across submissions; the host worker
+            # pool encodes each job independently.  The device batcher
+            # pairs consecutive submissions deterministically.
+            raise api.CFHDError(api.ErrorCode.BADFORMAT,
+                                "2-frame GOP needs the device path (YUY2)")
         self.width, self.height = width, height
         self.quality = probe.quality
         self.pixel_format = pixel_format
         self.encoded_format = encoded_format
+        self.use_device = use_device
+        if use_device and not self.gop:
+            from cineform_tpu.models.intra import IntraCodec
+            self._device_codec = IntraCodec(
+                width=width, height=height, quality=int(self.quality),
+                input_format=device_fmt)
+        elif use_device:
+            from cineform_tpu.models.gop import GopCodec
+            self._device_codec = GopCodec(width=width, height=height,
+                                          quality=int(self.quality))
         self._prepared = True
 
     # CFHD_AttachEncoderPoolMetadata
@@ -80,7 +124,14 @@ class EncoderPool:
     def start(self) -> None:
         if not self._prepared:
             raise api.CFHDError(api.ErrorCode.ENCODING_NOT_STARTED)
-        if self._executor is None:
+        if self.use_device:
+            if self._batcher is None:
+                self._stopping = False
+                self._batcher = threading.Thread(
+                    target=self._batch_loop, name="cfhd-device-batcher",
+                    daemon=True)
+                self._batcher.start()
+        elif self._executor is None:
             self._executor = ThreadPoolExecutor(
                 max_workers=self.thread_count,
                 thread_name_prefix="cfhd-encoder")
@@ -90,6 +141,58 @@ class EncoderPool:
         if self._executor is not None:
             self._executor.shutdown(wait=True)
             self._executor = None
+        if self._batcher is not None:
+            with self._lock:
+                self._stopping = True
+                self._lock.notify_all()
+            self._batcher.join()
+            self._batcher = None
+
+    # --- device batch path --------------------------------------------------
+
+    def _batch_loop(self) -> None:
+        """Drain submissions and encode whole batches on the chip.
+
+        Batches are padded to DEVICE_BATCH so one traced program serves
+        every batch size; only the real frames are assembled on the host."""
+        codec = self._device_codec
+        while True:
+            with self._lock:
+                while not self._batch_queue and not self._stopping:
+                    self._lock.wait()
+                if not self._batch_queue and self._stopping:
+                    return
+                jobs = [self._batch_queue.popleft()
+                        for _ in range(min(len(self._batch_queue),
+                                           self.DEVICE_BATCH))]
+            try:
+                real = len(jobs)
+                pad = self.DEVICE_BATCH - real
+                if self.gop:
+                    f0 = np.stack([j[1] for j in jobs]
+                                  + [jobs[-1][1]] * pad)
+                    f1 = np.stack([j[2] for j in jobs]
+                                  + [jobs[-1][2]] * pad)
+                    samples = codec.encode_batch(
+                        f0, f1,
+                        frame_numbers=[j[0] for j in jobs]
+                        + [0] * pad,
+                        metadata=[j[3] for j in jobs] + [None] * pad,
+                        assemble_count=real)
+                else:
+                    frames = np.stack([j[1] for j in jobs]
+                                      + [jobs[-1][1]] * pad)
+                    samples = codec.encode_batch_device(
+                        frames,
+                        frame_numbers=[j[0] for j in jobs] + [0] * pad,
+                        metadata=[j[2] for j in jobs] + [None] * pad,
+                        assemble_count=real)
+                for j, s in zip(jobs, samples):
+                    j[-1].set_result(s)
+            except BaseException as exc:  # propagate to the harvesters
+                for j in jobs:
+                    if not j[-1].done():
+                        j[-1].set_exception(exc)
 
     def _worker_encoder(self) -> api.Encoder:
         """Per-worker-thread sample encoder, mirroring the reference's
@@ -118,7 +221,7 @@ class EncoderPool:
     def encode_async_sample(self, frame_number: int,
                             frame: bytes | np.ndarray,
                             metadata=None) -> None:
-        if self._executor is None:
+        if self._executor is None and self._batcher is None:
             raise api.CFHDError(api.ErrorCode.ENCODING_NOT_STARTED)
         # The queue bound limits jobs in flight (unfinished encodes), not
         # unharvested results — finished samples wait in the output queue
@@ -127,8 +230,45 @@ class EncoderPool:
             while self._in_flight >= self.queue_length:
                 self._lock.wait()
             self._in_flight += 1
-        if isinstance(frame, np.ndarray):
-            frame = np.ascontiguousarray(frame).tobytes()
+        if self.use_device:
+            buf = (np.frombuffer(frame, dtype=np.uint8)
+                   if isinstance(frame, (bytes, bytearray))
+                   else np.ascontiguousarray(frame).view(np.uint8).reshape(-1))
+            rb = self._device_codec.row_bytes if not self.gop \
+                else 2 * self.width
+            if buf.size != self.height * rb:
+                with self._lock:
+                    self._in_flight -= 1
+                    self._lock.notify_all()
+                raise api.CFHDError(api.ErrorCode.INVALID_ARGUMENT,
+                                    "bad frame size")
+            arr = buf.reshape(self.height, rb)
+            fut = Future()
+            fut.add_done_callback(self._job_done)
+            meta = metadata or self._metadata
+            with self._lock:
+                if self.gop:
+                    if self._gop_parity == 0:
+                        # first of the pair: deliver the tiny sequence
+                        # header sample immediately (sync Encoder parity)
+                        from cineform_tpu.models import gop_host
+                        self._gop_first = arr
+                        self._gop_parity = 1
+                        fut.set_result(gop_host.sequence_header(
+                            self.width, self.height))
+                    else:
+                        self._gop_parity = 0
+                        self._gop_group = getattr(self, "_gop_group", 0) + 1
+                        self._batch_queue.append(
+                            (self._gop_group, self._gop_first, arr, meta,
+                             fut))
+                else:
+                    self._batch_queue.append((frame_number, arr, meta, fut))
+                self._pending.append((frame_number, fut))
+                self._lock.notify_all()
+            return
+        frame = (np.ascontiguousarray(frame).tobytes()
+                 if isinstance(frame, np.ndarray) else frame)
         # metadata snapshot per frame (`EncoderPool.cpp:389-449`).  Submit
         # and enqueue under one lock acquisition so the pending order always
         # matches submission order (submit does not block).

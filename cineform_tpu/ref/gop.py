@@ -43,23 +43,33 @@ def fieldplus_band_scales() -> dict:
     }
 
 
-def fieldplus_band_quant(quality: int, precision: int, channel: int) -> dict:
+def fieldplus_band_quant(quality: int, precision: int, channel: int,
+                         progressive: bool = True) -> dict:
     """Per-wavelet band quantizers for the FIELDPLUS transform.
 
     `SetTransformQuantization` (`Codec/quantize.c:3355+`, FIELDPLUS case):
     spatial wavelets use table[sb] * scale[band] >> 2; the temporal-high
     spatial's LL is forced to 1 (`encoder.c:8524`); the frame wavelets use
-    table[sb] directly.
+    table[sb] directly (progressive).  For interlaced input (true FRAME
+    wavelets) the w0/w1 quantizers are adjusted LH = t*3/2, HL = t*2/3,
+    HH = t — pinned against the reference encoder's band headers across
+    qualities 1-6 (probe encode_gop_ilace).
     """
     luma, chroma = quality_tables(quality, precision, gop_length=2)
     t = chroma if channel > 0 else luma
     s = fieldplus_band_scales()
+
+    def frame_q(base: int) -> tuple:
+        if progressive:
+            return tuple(t[base + b] for b in range(3))
+        return ((t[base] * 3) >> 1, (t[base + 1] * 2) // 3, t[base + 2])
+
     return {
         5: tuple((t[1 + b] * s[5][1 + b]) >> 2 for b in range(3)),
         4: tuple((t[4 + b] * s[4][1 + b]) >> 2 for b in range(3)),
         3: (1,) + tuple((t[8 + b] * s[3][1 + b]) >> 2 for b in range(3)),
-        1: tuple(t[11 + b] for b in range(3)),
-        0: tuple(t[14 + b] for b in range(3)),
+        1: frame_q(11),
+        0: frame_q(14),
     }
 
 
@@ -71,37 +81,68 @@ def _div2_trunc(x: np.ndarray) -> np.ndarray:
     return np.sign(x) * (np.abs(x) >> 1)
 
 
+def quantize_mid(v: np.ndarray, q: int) -> np.ndarray:
+    """Quantizer with midpoint exactly q/2 (no -1), as used inside
+    `FilterHorizontalRowScaled16sDifferenceFiltered` (`Codec/spatial.c:5327`,
+    prequant_midpoint = divisor / g_midpoint_prequant)."""
+    if q <= 1:
+        return v.astype(np.int32)
+    mult = (1 << 16) // q
+    a = np.abs(v).astype(np.int64)
+    mag = ((a + q // 2) * mult) >> 16
+    return (np.sign(v) * mag).astype(np.int32)
+
+
 def frame_wavelet_forward(plane: np.ndarray, quant):
     """HORZTEMP frame wavelet: 2-2 Haar across row pairs + horizontal 2-6.
 
-    Temporal convention throughout CFHD: low = first + second,
-    high = SECOND - FIRST (`Codec/temporal.c` FilterTemporalRow16s tail).
-    Bands: LL/LH from the temporal-low rows, HL/HH from the temporal-high
-    rows (`Codec/filter.c:372-420`), quantization fused.
+    Pinned column-by-column against the reference kernels driven directly
+    (tools/probe_frame_filter.c):
+    - temporal: low = even + odd, high = ODD - EVEN
+      (`FilterTemporalRowYUYVChannelTo16s`, `Codec/temporal.c:1915`);
+    - LH = standard quantized 2-6 high of the temporal low
+      (`FilterHorizontalRow16s` + QuantizeRow16sTo16s);
+    - HL = the horizontal LOWPASS of the temporal high, quantized with
+      midpoint q/2, then horizontally DELTA-CODED (DIFFERENCE_CODING,
+      `Codec/spatial.c:5327` FilterHorizontalRowScaled16sDifferenceFiltered);
+      it is entropy-coded with codeset 18 (band coding_flags 18);
+    - HH = standard quantized 2-6 high of the temporal high.
     """
     p = plane.astype(np.int32)
     tlow = xf.sat16(p[0::2] + p[1::2])
-    # NOTE: empirically (golden decode comparison) the frame wavelet's
-    # temporal high is first-minus-second, unlike the standalone temporal
-    # transform between frames (second-minus-first).
-    thigh = xf.sat16(p[0::2] - p[1::2])
+    thigh = xf.sat16(p[1::2] - p[0::2])
     ll, lh = xf._h26_forward(tlow)
-    hl, hh = xf._h26_forward(thigh)
+    _, hh = xf._h26_forward(thigh)
+    low_h = xf.sat16(thigh[:, 0::2] + thigh[:, 1::2])
+    hl_q = quantize_mid(low_h, quant[1])
+    d = hl_q.copy()
+    d[:, 1:] = hl_q[:, 1:] - hl_q[:, :-1]
     return ll, (xf.quantize(lh, quant[0]),
-                xf.quantize(hl, quant[1]),
+                xf.sat16(d).astype(np.int32),
                 xf.quantize(hh, quant[2]))
 
 
-def frame_wavelet_inverse(ll, lh, hl, hh) -> np.ndarray:
+def frame_wavelet_inverse(ll, lh, hl, hh, to8bit: bool = False) -> np.ndarray:
     """Inverse HORZTEMP: horizontal 2-6 inverse then 2-2 row expansion
-    (`InvertInterlacedRow16s10bitToYUV`: even = (low-high)/2,
-    odd = (low+high)/2, truncating division)."""
+    (`InvertInterlacedRow16s10bitToYUV`, `Codec/temporal.c:5961`:
+    even = clamp_0..2047(low - high) >> 1, odd = clamp(low + high) >> 1,
+    the clamp done by the saturating 0x7fff-2047 offset trick).
+
+    `hl` must be the dequantized band values; difference decoding (the
+    row cumsum, `Codec/entropy_threading.c:205`, int16 wrap) is applied
+    here — the linear dequantization commutes with the cumsum."""
+    hl = np.cumsum(hl.astype(np.int64), axis=1)
+    hl = (((hl + 32768) & 0xFFFF) - 32768).astype(np.int32)
     tlow = xf.h26_inverse(ll, lh)
     thigh = xf.h26_inverse(hl, hh)
     h2 = tlow.shape[0]
+    even = np.clip(xf.sat16(tlow - thigh), 0, 2047) >> 1
+    odd = np.clip(xf.sat16(tlow + thigh), 0, 2047) >> 1
     out = np.empty((h2 * 2, tlow.shape[1]), np.int32)
-    out[0::2] = xf.sat16(_div2_trunc(tlow + thigh))
-    out[1::2] = xf.sat16(_div2_trunc(tlow - thigh))
+    out[0::2] = even
+    out[1::2] = odd
+    if to8bit:
+        out = np.clip(out >> 2, 0, 255)
     return out
 
 
@@ -136,7 +177,8 @@ def forward_channel_gop(frame0: np.ndarray, frame1: np.ndarray,
 
 def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
                         reference_compatible: bool = True,
-                        dither0=None, dither1=None):
+                        dither0=None, dither1=None,
+                        progressive: bool = True):
     """Full FIELDPLUS inverse for one channel -> (frame0, frame1).
 
     bands values must already be dequantized.
@@ -158,6 +200,16 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
     ll3 = bands[3][0]
     thigh = xf.dwt2d_inverse(ll3, *bands[3][1:], descale=1)
     ll0 = xf.sat16((tlow.astype(np.int64) - thigh) >> 1)
+
+    if not progressive:
+        # interlaced: w0/w1 are HORZTEMP frame wavelets
+        f0 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit)
+        if reference_compatible:
+            f1 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit)
+        else:
+            ll1 = xf.sat16((tlow.astype(np.int64) + thigh) >> 1)
+            f1 = frame_wavelet_inverse(ll1, *bands[1], to8bit=to8bit)
+        return f0, f1
 
     def final(llf, wbands, dither):
         lh, hl, hh = wbands

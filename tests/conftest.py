@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the device entropy/transform programs take
+# ~10s each to compile on this 1-core CPU; cache hits load in ~1s.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"
 TESTPATT = os.path.join(REFERENCE_ROOT, "data", "testpatt.pgm")

@@ -95,3 +95,33 @@ def test_device_entropy_samples_byte_exact():
     s_ref = intra_host.encode_sample(noisy[0].tobytes(), w, h, 4,
                                      frame_number=7)
     assert s_small[0] == s_ref
+
+
+@pytest.mark.parametrize("fmt,pixfmt", [
+    ("UYVY", "UYVY"), ("YU64", "YU64"), ("V210", "V210")])
+def test_device_unpack_formats_match_sync_encoder(fmt, pixfmt):
+    """IntraCodec's device unpack kernels (ops/intra_transform.unpack_*)
+    produce samples byte-identical to the synchronous host Encoder for
+    every device-batched input format."""
+    from cineform_tpu import api
+
+    w, h = 96, 48
+    rng = np.random.default_rng(11)
+    pf = getattr(api.PixelFormat, pixfmt)
+    row_bytes = {"UYVY": 2 * w, "YU64": 4 * w,
+                 "V210": ((w + 47) // 48) * 128}[fmt]
+    frame = rng.integers(0, 256, size=h * row_bytes, dtype=np.uint8)
+    if fmt == "V210":
+        # valid v210: 10-bit fields within each 32-bit word, top bits clear
+        words = rng.integers(0, 1 << 30, size=h * row_bytes // 4,
+                             dtype=np.uint32)
+        frame = words.astype("<u4").view(np.uint8)
+
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, pf)
+    enc.encode_sample(frame.tobytes())
+    want = enc.get_sample_data()
+
+    codec = IntraCodec(width=w, height=h, quality=4, input_format=fmt)
+    got = codec.encode_batch_device(frame.reshape(1, h, row_bytes))[0]
+    assert got == want

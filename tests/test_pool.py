@@ -75,10 +75,14 @@ def test_pool_all_advertised_formats_encode():
         ref = enc.get_sample_data()
 
         pool = api.CFHD_CreateEncoderPool(2, 4)
-        pool.prepare_to_encode(w, h, pf)
+        # use_device=False: this test validates per-format dispatch through
+        # the host worker path; device-batcher equivalence is covered by
+        # test_pool_device_batch_matches_sync (compiling a device program
+        # per format takes minutes on this 1-core CPU)
+        pool.prepare_to_encode(w, h, pf, use_device=False)
         pool.start()
         pool.encode_async_sample(1, frame)
-        buf = pool.wait_for_sample(timeout=60)
+        buf = pool.wait_for_sample(timeout=120)
         pool.stop()
         assert buf.get_encoded_sample() == ref, pf
 
@@ -97,13 +101,13 @@ def test_pool_wait_blocks_for_next_submission():
     result = []
 
     def waiter():
-        result.append(pool.wait_for_sample(timeout=30))
+        result.append(pool.wait_for_sample(timeout=600))
 
     t = threading.Thread(target=waiter)
     t.start()
     time.sleep(0.2)
     pool.encode_async_sample(1, frame)
-    t.join(timeout=30)
+    t.join(timeout=600)
     pool.stop()
     assert result and result[0].frame_number == 1
 
@@ -113,3 +117,56 @@ def test_pool_wait_blocks_for_next_submission():
         pool2.prepare_to_encode(w, h, api.PixelFormat.YUY2)
         pool2.start()
         pool2.wait_for_sample(timeout=0.1)
+
+
+def test_pool_device_gop_pairs_match_sync_encoder():
+    """2-frame GOP through the pool: the device batcher pairs consecutive
+    submissions; output samples (header, GROUP, header, GROUP) match the
+    synchronous Encoder byte-for-byte."""
+    w, h, n = 64, 48, 4
+    frames = [yuy2_frame(w, h, p) for p in range(n)]
+
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2,
+                          encoding_flags=api.EncodingFlags.YUV_2FRAME_GOP)
+    want = []
+    for f in frames:
+        enc.encode_sample(f)
+        want.append(enc.get_sample_data())
+
+    pool = api.CFHD_CreateEncoderPool(2, 8)
+    pool.prepare_to_encode(w, h, api.PixelFormat.YUY2,
+                           encoding_flags=api.EncodingFlags.YUV_2FRAME_GOP)
+    pool.start()
+    for i, f in enumerate(frames):
+        pool.encode_async_sample(i + 1, f)
+    got = [pool.wait_for_sample(timeout=900).get_encoded_sample()
+           for _ in range(n)]
+    pool.stop()
+    assert got == want
+
+
+def test_pool_device_batch_matches_sync():
+    """The device batcher produces byte-identical samples to the
+    synchronous Encoder (YUY2; the other device formats share the same
+    IntraCodec path, pinned by tests/test_intra_jax.py)."""
+    w, h, n = 64, 48, 5
+    frames = [yuy2_frame(w, h, p) for p in range(n)]
+    want = []
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    for i, f in enumerate(frames):
+        enc._frame_number = i
+        enc.encode_sample(f)
+        want.append(enc.get_sample_data())
+
+    pool = api.CFHD_CreateEncoderPool(2, 8)
+    pool.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    assert pool.use_device
+    pool.start()
+    for i, f in enumerate(frames):
+        pool.encode_async_sample(i + 1, f)
+    got = [pool.wait_for_sample(timeout=900).get_encoded_sample()
+           for _ in range(n)]
+    pool.stop()
+    assert got == want

@@ -60,13 +60,16 @@ def test_garbage_input():
 
 def test_stereo_encoder_roundtrip():
     from cineform_tpu import metadata as md
+    from cineform_tpu.models import stereo
 
     w, h = 160, 120
     st = api.StereoEncoder()
     st.prepare_to_encode(w, h, api.PixelFormat.YUY2)
-    left, right = st.encode_sample(yuy2_frame(w, h, 1), yuy2_frame(w, h, 2))
-    for eye_sample in (left, right):
-        item = md.find_metadata(eye_sample, "VCHN")
-        assert item is not None and item.payload[:4] == (2).to_bytes(4, "little")
-        out = _decode(eye_sample)
-        assert out.shape == (h, 2 * w)
+    sample = st.encode_sample(yuy2_frame(w, h, 1), yuy2_frame(w, h, 2))
+    item = md.find_metadata(sample, "VCHN")
+    assert item is not None and item.payload[:4] == (2).to_bytes(4, "little")
+    eyes = stereo.split_3d(sample)
+    assert len(eyes) == 2
+    for eye in (0, 1):
+        out = np.frombuffer(stereo.decode_sample_3d(sample, eye), np.uint8)
+        assert out.size == h * 2 * w

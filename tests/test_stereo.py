@@ -1,0 +1,78 @@
+"""Stereo 3D dual-channel samples vs the reference SDK.
+
+The reference's 3D: one sample holds both eyes' bitstreams, 16-byte
+aligned, with ENCODED_CHANNELS/ENCODED_CHANNEL_NUMBER tags and a VCHN
+metadata tuple (`Codec/encoder.c:3407-3438`, `7548-7556`); eye selection
+on decode via TAG_CHANNELS_ACTIVE (`Codec/decoder.c:10310-10340`).
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_gop import _metadata_from  # noqa: E402
+
+from cineform_tpu import api  # noqa: E402
+from cineform_tpu.models import stereo  # noqa: E402
+from cineform_tpu.utils.testframes import yuy2_frame  # noqa: E402
+
+REFBIN = "/root/repo/.refbuild/probe_sample"
+
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+def test_3d_encode_byte_exact():
+    w, h, q = 320, 240, 4
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "s3d.cfhd")
+        r = subprocess.run([REFBIN, "encode_3d", str(w), str(h), str(q),
+                            "7", path], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        golden = open(path, "rb").read()
+    mine = stereo.encode_sample_3d(yuy2_frame(w, h, 7), yuy2_frame(w, h, 8),
+                                   w, h, q, 1, _metadata_from(golden))
+    assert mine == golden
+
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+def test_3d_decode_both_eyes_byte_exact():
+    w, h, q = 320, 240, 4
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "s3d.cfhd")
+        subprocess.run([REFBIN, "encode_3d", str(w), str(h), str(q), "7",
+                        path], capture_output=True)
+        sample = open(path, "rb").read()
+        for eye, cact in ((0, 1), (1, 2)):
+            out = os.path.join(tmp, f"eye{eye}.yuy2")
+            r = subprocess.run([REFBIN, "decode_3d", path, out, str(cact)],
+                               capture_output=True)
+            assert r.returncode == 0, r.stderr
+            ref = np.frombuffer(open(out, "rb").read(), np.uint8)
+            mine = np.frombuffer(stereo.decode_sample_3d(sample, eye),
+                                 np.uint8)
+            np.testing.assert_array_equal(mine, ref)
+
+
+def test_3d_api_roundtrip_and_eye_selection():
+    w, h = 160, 120
+    enc = api.StereoEncoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    sample = enc.encode_sample(yuy2_frame(w, h, 3), yuy2_frame(w, h, 9))
+
+    srcs = [np.frombuffer(yuy2_frame(w, h, p), np.uint8).astype(float)
+            for p in (3, 9)]
+    dec = api.Decoder()
+    dec.prepare_to_decode(w, h, api.PixelFormat.YUY2)
+    for mask, src in ((1, srcs[0]), (2, srcs[1])):
+        dec.set_channels_active(mask)
+        out = dec.decode_sample(sample).astype(float).reshape(-1)
+        psnr = 10 * np.log10(255 ** 2 / max(np.mean((out - src) ** 2), 1e-9))
+        assert psnr > 38, (mask, psnr)
+        other = srcs[1] if mask == 1 else srcs[0]
+        worse = 10 * np.log10(255 ** 2 / max(np.mean((out - other) ** 2),
+                                             1e-9))
+        assert worse < psnr - 5, "eye selection has no effect"

@@ -258,45 +258,6 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
     return 0;
 }
 
-static int do_encode_3d(int w, int h, int quality, int pattern, const char *path)
-{
-    CFHD_EncoderRef enc = NULL;
-    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
-
-    CFHD_MetadataRef meta = NULL;
-    CFHD_MetadataOpen(&meta);
-    uint32_t channels = 2;
-    /* TAG_VIDEO_CHANNELS 'VCHN', type 'H' (hidden long) */
-    CFHD_MetadataAdd(meta, ('V'<<24)|('C'<<16)|('H'<<8)|'N',
-                     (CFHD_MetadataType)'H', 4, &channels, false);
-    CFHD_MetadataAttach(enc, meta);
-
-    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
-                                          CFHD_ENCODED_FORMAT_YUV_422,
-                                          CFHD_ENCODING_FLAGS_NONE,
-                                          (CFHD_EncodingQuality)quality);
-    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
-
-    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
-    for (int i = 0; i < 2; i++) {
-        fill_yuy2(frame, w, h, pattern + i);
-        err = CFHD_EncodeSample(enc, frame, w * 2);
-        void *sample = NULL; size_t size = 0;
-        CFHD_Error gerr = CFHD_GetSampleData(enc, &sample, &size);
-        fprintf(stderr, "eye %d: encode=%d getdata=%d size=%zu\n", i, err, gerr, size);
-        if (gerr == 0 && size > 0) {
-            char name[512];
-            snprintf(name, sizeof(name), "%s.e%d", path, i);
-            FILE *f = fopen(name, "wb");
-            fwrite(sample, 1, size, f);
-            fclose(f);
-        }
-    }
-    CFHD_CloseEncoder(enc);
-    free(frame);
-    return 0;
-}
-
 static int do_encode_byr4(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -358,6 +319,82 @@ static int do_encode_gop(int w, int h, int quality, int pattern, const char *pat
     }
     CFHD_CloseEncoder(enc);
     free(frame);
+    return 0;
+}
+
+/* Encode a stereo 3D sample: two eyes (pattern, pattern+1) stacked in a
+ * double-height buffer, VCHN=2 metadata -> both eyes in ONE sample
+ * (`Codec/encoder.c:3407-3438` stereo_encode loop). */
+static int do_encode_3d(int w, int h, int quality, int pattern,
+                        const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    CFHD_MetadataRef md = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    if (CFHD_MetadataOpen(&md)) return 1;
+    uint32_t two = 2;
+    CFHD_MetadataAdd(md, TAG_VIDEO_CHANNELS, (CFHD_MetadataType)'H', 4, &two, 0);
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    /* attach after prepare: MergeMetadata needs the codec-level encoder */
+    CFHD_MetadataAttach(enc, md);
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 4);
+    fill_yuy2(frame, w, h, pattern);
+    fill_yuy2(frame + (size_t)w * h * 2, w, h, pattern + 1);
+    err = CFHD_EncodeSample(enc, frame, w * 2);
+    fprintf(stderr, "3d encode err=%d\n", err);
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size) == 0 && size > 0) {
+        FILE *f = fopen(path, "wb");
+        fwrite(sample, 1, size, f);
+        fclose(f);
+    }
+    CFHD_MetadataClose(md);
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
+/* Decode one eye (cact mask 1 = left, 2 = right) of a 3D sample. */
+static int do_decode_3d(const char *inpath, const char *outpath, int cact)
+{
+    FILE *f = fopen(inpath, "rb");
+    if (!f) { fprintf(stderr, "no input\n"); return 1; }
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    uint8_t *sample = (uint8_t *)malloc((size_t)size);
+    if (fread(sample, 1, (size_t)size, f) != (size_t)size) return 1;
+    fclose(f);
+
+    CFHD_DecoderRef dec = NULL;
+    CFHD_MetadataRef md = NULL;
+    if (CFHD_OpenDecoder(&dec, NULL)) return 1;
+    int aw = 0, ah = 0;
+    CFHD_PixelFormat afmt;
+    CFHD_Error err = CFHD_PrepareToDecode(dec, 0, 0, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_DECODED_RESOLUTION_FULL,
+                                          CFHD_DECODING_FLAGS_NONE,
+                                          sample, (size_t)size, &aw, &ah, &afmt);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    if (cact) {
+        uint32_t mask = (uint32_t)cact;
+        CFHD_OpenMetadata(&md);
+        CFHD_SetActiveMetadata(dec, md, TAG_CHANNELS_ACTIVE,
+                               METADATATYPE_UINT32, &mask, 4);
+    }
+    int pitch = aw * 2;
+    uint8_t *out = (uint8_t *)malloc((size_t)pitch * (ah + 16));
+    err = CFHD_DecodeSample(dec, sample, (size_t)size, out, pitch);
+    if (err) { fprintf(stderr, "decode %d\n", err); return 1; }
+    FILE *g = fopen(outpath, "wb");
+    fwrite(out, 1, (size_t)pitch * ah, g);
+    fclose(g);
+    fprintf(stderr, "3d decoded cact=%d %dx%d\n", cact, aw, ah);
+    CFHD_CloseDecoder(dec);
     return 0;
 }
 
@@ -696,6 +733,8 @@ int main(int argc, char **argv)
     if (argc >= 8 && !strcmp(argv[1], "encode_raw"))
         return do_encode_raw(argv[2], atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), atoi(argv[6]), argv[7]);
+        if (argc >= 5 && !strcmp(argv[1], "decode_3d"))
+        return do_decode_3d(argv[2], argv[3], atoi(argv[4]));
     if (argc >= 7 && !strcmp(argv[1], "encode_gop_ilace"))
         return do_encode_gop_ilace(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                                    atoi(argv[5]), argv[6]);
