@@ -369,7 +369,10 @@ class Decoder:
                           ) -> tuple[int, int, PixelFormat]:
         if output_format not in self.OUTPUT_FORMATS:
             raise CFHDError(ErrorCode.BADFORMAT, f"{output_format!r}")
-        if sample is not None:
+        if sample is not None and (width == 0 or height == 0):
+            # 0x0 = decode at the native coded size; explicit dimensions
+            # request scaling through the Lanczos scaler
+            # (`DecoderSDK/SampleDecoder.cpp:1593-1597`)
             info = self.get_sample_info(sample)
             width, height = info.width, info.height
         if resolution == DecodedResolution.HALF:
@@ -397,6 +400,7 @@ class Decoder:
 
         if not self._prepared:
             raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
+        info0 = None
         try:
             from cineform_tpu.bitstream import parse_sample
             info0 = parse_sample(sample)
@@ -438,6 +442,14 @@ class Decoder:
             elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
+            elif info0 is not None and (self.width, self.height) != \
+                    (info0.width, info0.height) \
+                    and self.output_format in (PixelFormat.YUY2,
+                                               PixelFormat.UYVY):
+                # decoded size != requested size: scale with the Lanczos
+                # scaler like the reference's ConvertLib path
+                # (`DecoderSDK/SampleDecoder.cpp:1593-1597`)
+                out = self._decode_to_size(sample, self.width, self.height)
             elif self.output_format == PixelFormat.YUY2:
                 out, _ = intra_host.decode_sample(sample)
             else:
@@ -472,6 +484,31 @@ class Decoder:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+
+    def _decode_to_size(self, sample: bytes, out_w: int,
+                        out_h: int) -> bytes:
+        """Decode then Lanczos-scale to the requested size
+        (`CLanczosScaler`, `ConvertLib/ImageScaler.h:77-1011`)."""
+        import jax.numpy as jnp
+
+        from cineform_tpu.models import intra_host
+        from cineform_tpu.ops import scaler
+
+        y, cr, cb = intra_host.decode_sample_yuv10(sample)
+        planes = []
+        for p, w in ((y, out_w), (cr, out_w // 2), (cb, out_w // 2)):
+            sc = scaler.scale_image(jnp.asarray(p, jnp.float32), out_h, w)
+            p8 = np.clip((np.asarray(sc) + 2.0) / 4.0, 0, 255).astype(
+                np.uint8)
+            planes.append(p8)
+        quad = np.empty((out_h, out_w // 2, 4), np.uint8)
+        quad[:, :, 0] = planes[0][:, 0::2]
+        quad[:, :, 2] = planes[0][:, 1::2]
+        quad[:, :, 1] = planes[2]           # Cb
+        quad[:, :, 3] = planes[1]           # Cr
+        if self.output_format == PixelFormat.UYVY:
+            quad = np.ascontiguousarray(quad[:, :, [1, 0, 3, 2]])
+        return quad.tobytes()
 
     # CFHD_CloseDecoder
     def close(self) -> None:

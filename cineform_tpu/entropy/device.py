@@ -67,6 +67,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -477,9 +478,29 @@ def encode_band_arrays(values: jnp.ndarray, codeset: int = 17,
         bits = jnp.where(idx, bits, jnp.uint32(0))
 
     nt = npad // chunk
-    bufs, lens, c_ovf = tree_pack(
-        bits.reshape(*lead, nt, chunk), sizes.reshape(*lead, nt, chunk),
-        cap_bits_per_elem=max(_CHUNK_CAP_BITS, cap_bits_per_elem))
+    chunk_cap = max(_CHUNK_CAP_BITS, cap_bits_per_elem)
+    # The Pallas VMEM-tree kernel (ops/pallas_pack.py) beats the XLA tree
+    # 2.2x STANDALONE (4.1 vs 9.1 ms at 1080p level-1 scale on v5e), but
+    # in the full encode pipeline its bitrev+transpose input barrier
+    # breaks XLA's fusion of the codes stage into the lower tree levels
+    # and the net is SLOWER (3.32 vs 2.51 ms/frame full encode).  The XLA
+    # tree therefore stays the production path; the kernel remains wired
+    # (CINEFORM_PALLAS_PACK=1) and tested as the base for a future
+    # geometry+codes+pack single-kernel fusion.
+    import os
+    use_pallas = (chunk == 256
+                  and jax.default_backend() not in ("cpu",)
+                  and os.environ.get("CINEFORM_PALLAS_PACK") == "1")
+    if use_pallas:
+        from cineform_tpu.ops.pallas_pack import chunk_pack as _pallas_pack
+
+        bufs, lens, c_ovf = _pallas_pack(
+            bits.reshape(*lead, nt, chunk), sizes.reshape(*lead, nt, chunk),
+            cap_bits_per_elem=chunk_cap)
+    else:
+        bufs, lens, c_ovf = tree_pack(
+            bits.reshape(*lead, nt, chunk), sizes.reshape(*lead, nt, chunk),
+            cap_bits_per_elem=chunk_cap)
     out_words = _word_cap(max(cap_bits_per_elem * n, 64))
     words, total = _concat_chunks(bufs, lens, out_words)
     overflow = c_ovf.any(axis=-1) | (total > 32 * out_words)

@@ -51,20 +51,10 @@ def _schedule(max_code_bits: int, cap_bits_per_elem: int):
     return out, w_cur
 
 
-def _transpose_bitrev(v):
-    """(LANES, CHUNK) natural tile -> (CHUNK, LANES) with the element axis
-    in bit-reversed order — all in VMEM (the HBM-side transpose runs at
-    ~24 GB/s on this chip and would dominate the whole kernel)."""
-    v = v.T
-    v = v.reshape((2,) * 8 + (LANES,))
-    v = v.transpose(7, 6, 5, 4, 3, 2, 1, 0, 8)
-    return v.reshape(CHUNK, LANES)
-
-
-def _pack_kernel(bits_ref, sizes_ref, words_ref, lens_ref, ovf_ref,
-                 *, schedule):
-    bits = _transpose_bitrev(bits_ref[...])             # (CHUNK, LANES)
-    sizes = _transpose_bitrev(sizes_ref[...]).astype(jnp.uint32)
+def _pack_kernel(packed_ref, words_ref, lens_ref, ovf_ref, *, schedule):
+    packed = packed_ref[...]                 # (CHUNK, LANES) uint32
+    bits = packed & jnp.uint32((1 << 27) - 1)
+    sizes = packed >> 27
 
     buf = jnp.where(sizes == 0, jnp.uint32(0),
                     bits << (jnp.uint32(32) - sizes))
@@ -127,7 +117,7 @@ def _pack_kernel(bits_ref, sizes_ref, words_ref, lens_ref, ovf_ref,
 
     out = buf[0, :, :] if swapped else buf[:, 0, :]
     words_ref[...] = out.T                   # (LANES, w_final) natural
-    lens_ref[...] = lens.T                   # (LANES, 1)
+    lens_ref[...] = lens.T
     ovf_ref[...] = ovf.T
 
 
@@ -154,22 +144,24 @@ def chunk_pack(bits: jnp.ndarray, sizes: jnp.ndarray,
     assert c == CHUNK
     schedule, w_final = _schedule(max_code_bits, cap_bits_per_elem)
 
-    bits2 = bits.astype(jnp.uint32).reshape(-1, CHUNK)
-    sizes2 = sizes.astype(jnp.int32).reshape(-1, CHUNK)
-    total = bits2.shape[0]
+    # pack (size, bits) into one u32 (codes < 2^27, sizes <= 27 = 5 bits)
+    # so the unavoidable HBM transpose into chunk-lane-major layout moves
+    # half the bytes (the transpose runs at ~24 GB/s and dominates)
+    packed = (sizes.astype(jnp.uint32) << 27) | bits.astype(jnp.uint32)
+    packed = _bit_reverse_elems(packed).reshape(-1, CHUNK)
+    total = packed.shape[0]
     pad_t = (-total) % LANES
     if pad_t:
-        bits2 = jnp.pad(bits2, ((0, pad_t), (0, 0)))
-        sizes2 = jnp.pad(sizes2, ((0, pad_t), (0, 0)))
-    blocks = bits2.shape[0] // LANES
+        packed = jnp.pad(packed, ((0, pad_t), (0, 0)))
+    blocks = packed.shape[0] // LANES
+    packed = packed.T                        # (CHUNK, blocks*LANES)
 
     kernel = partial(_pack_kernel, schedule=schedule)
     words, lens, ovf = pl.pallas_call(
         kernel,
         grid=(blocks,),
         in_specs=[
-            pl.BlockSpec((LANES, CHUNK), lambda i: (i, 0)),
-            pl.BlockSpec((LANES, CHUNK), lambda i: (i, 0)),
+            pl.BlockSpec((CHUNK, LANES), lambda i: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec((LANES, w_final), lambda i: (i, 0)),
@@ -182,7 +174,7 @@ def chunk_pack(bits: jnp.ndarray, sizes: jnp.ndarray,
             jax.ShapeDtypeStruct((blocks * LANES, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(bits2, sizes2)
+    )(packed)
 
     words = words[:total].reshape(*lead, t, w_final)
     lens = lens[:total, 0].reshape(*lead, t)

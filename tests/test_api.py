@@ -198,3 +198,33 @@ def test_decoder_gop_cache_keyed_on_full_sample():
     assert outa != outb
     ref_b0, _ = gop_host.decode_group(sb)
     assert outb == ref_b0
+
+
+def test_decoder_arbitrary_size_scaling():
+    """Explicit output dimensions route through the Lanczos scaler
+    (`DecoderSDK/SampleDecoder.cpp:1593-1597` ConvertLib path)."""
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    w, h = 320, 240
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    enc.encode_sample(yuy2_frame(w, h, 5))
+    sample = enc.get_sample_data()
+
+    for ow, oh in ((160, 120), (200, 150), (480, 360)):
+        dec = api.Decoder()
+        dec.prepare_to_decode(ow, oh, api.PixelFormat.YUY2)
+        out = dec.decode_sample(sample)
+        assert out.shape == (oh, 2 * ow)
+        # compare against the source luma scaled through the same scaler:
+        # catches wiring/layout mistakes (the scaler itself has its own
+        # property tests in test_image_ops.py)
+        import jax.numpy as jnp
+
+        from cineform_tpu.ops import scaler
+        src = np.frombuffer(yuy2_frame(w, h, 5), np.uint8).reshape(h, 2 * w)
+        sy = np.asarray(scaler.scale_image(
+            jnp.asarray(src[:, 0::2], jnp.float32), oh, ow))
+        oy = out[:, 0::2].astype(float)
+        err = np.abs(sy - oy).mean()
+        assert err < 3.0, (ow, oh, err)
