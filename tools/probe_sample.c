@@ -258,6 +258,57 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
     return 0;
 }
 
+/* Encode BYR4 with WBAL metadata attached (drives ApplyActiveMetaData on
+ * decode: `Codec/bayer.c:7427`). r/g/b are white-balance gains x1000. */
+static int do_encode_byr4_wbal(int w, int h, int quality, int pattern,
+                               int r1000, int g1000, int b1000,
+                               const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    CFHD_MetadataRef md = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_BYR4,
+                                          CFHD_ENCODED_FORMAT_BAYER,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    CFHD_MetadataOpen(&md);
+    float wbal[4];
+    uint32_t prcs = PROCESSING_ACTIVE | PROCESSING_WHITEBALANCE;
+    wbal[0] = (float)r1000 / 1000.0f;
+    wbal[1] = (float)g1000 / 1000.0f;
+    wbal[2] = (float)b1000 / 1000.0f;
+    wbal[3] = 1.0f;
+    CFHD_MetadataAdd(md, TAG_WHITE_BALANCE, METADATATYPE_FLOAT, 16,
+                     (uint32_t *)wbal, 0);
+    CFHD_MetadataAdd(md, TAG_PROCESS_PATH, (CFHD_MetadataType)'H', 4,
+                     &prcs, 0);
+    CFHD_MetadataAttach(enc, md);
+
+    uint16_t *buf = (uint16_t *)malloc((size_t)w * h * 2);
+    uint32_t seed = 0xBEEF0u + (uint32_t)pattern;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            uint32_t rnd = xs32(&seed);
+            int v = ((x * 9 + y * 13) << 5) & 0xFFFF;
+            if (pattern > 0) v = (v + (int)(rnd & 2047)) & 0xFFFF;
+            buf[(size_t)y * w + x] = (uint16_t)v;
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, w * 2);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "byr4+wbal %dx%d -> %zu bytes\n", w, h, size);
+    CFHD_MetadataClose(md);
+    CFHD_CloseEncoder(enc);
+    free(buf);
+    return 0;
+}
+
 static int do_encode_byr4(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -718,6 +769,11 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode_3d"))
         return do_encode_3d(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                             atoi(argv[5]), argv[6]);
+    if (argc >= 10 && !strcmp(argv[1], "encode_byr4_wbal"))
+        return do_encode_byr4_wbal(atoi(argv[2]), atoi(argv[3]),
+                                   atoi(argv[4]), atoi(argv[5]),
+                                   atoi(argv[6]), atoi(argv[7]),
+                                   atoi(argv[8]), argv[9]);
     if (argc >= 7 && !strcmp(argv[1], "encode_byr4"))
         return do_encode_byr4(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
