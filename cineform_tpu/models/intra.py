@@ -31,14 +31,14 @@ from cineform_tpu.ops import intra_transform as ops
 from cineform_tpu.spec.production import IntraParams, intra_prescale
 
 
-@lru_cache(maxsize=16)
-def _dither_planes(height: int, width: int):
-    """Reference-exact output dither planes (luma, chroma) for frame 0 of a
-    decoder process (glibc rand stream; see ref/intra.decode_dither_rows).
-    Returned as uint8 numpy, folded into the traced program as constants."""
+@lru_cache(maxsize=64)
+def _dither_planes(height: int, width: int, frame_index: int = 0):
+    """Reference-exact output dither planes (luma, chroma) for the n-th
+    decoded frame of a decoder process (glibc rand stream; see
+    ref/intra.decode_dither_rows).  Returned as uint8 numpy."""
     from cineform_tpu.ref import intra as xf
 
-    rows = xf.decode_dither_rows(height)
+    rows = xf.decode_dither_rows(height, frame_index)
     return (xf.decode_dither_plane(rows, width).astype(np.uint8),
             xf.decode_dither_plane(rows, width // 2).astype(np.uint8))
 
@@ -131,15 +131,17 @@ class IntraCodec:
             out.append((lowpass, dq))
         return out
 
-    @partial(jax.jit, static_argnums=0)
-    def inverse(self, coeffs):
+    @partial(jax.jit, static_argnums=(0, 2))
+    def inverse(self, coeffs, frame_index: int = 0):
         """Per-channel (lowpass, bands) -> (B, H, 2W) uint8 YUY2 frames.
 
-        Applies the reference decoder's output dither (byte-exact for the
-        first frame of a decode process)."""
+        Applies the reference decoder's output dither for the given frame
+        index of the decode process (the rand stream advances per decoded
+        frame; every frame in the batch shares the index, i.e. a batch
+        models N parallel decoder processes at the same position)."""
         p = self.params
         prescale = p.prescale
-        dy, dc = _dither_planes(self.height, self.width)
+        dy, dc = _dither_planes(self.height, self.width, frame_index)
         planes = [ops.inverse_channel_to_8bit(
             lowpass, bands, prescale,
             dither=jnp.asarray(dy if ch == 0 else dc, jnp.int32))
@@ -267,8 +269,13 @@ class IntraCodec:
                 input_format=self.input_format_code))
         return samples
 
-    def decode_batch(self, samples: list[bytes]) -> np.ndarray:
-        """Decode CFHD samples to (B, H, 2W) uint8 YUY2 frames."""
+    def decode_batch(self, samples: list[bytes],
+                     frame_index: int = 0) -> np.ndarray:
+        """Decode CFHD samples to (B, H, 2W) uint8 YUY2 frames.
+
+        frame_index positions the output dither within the decoder
+        process's rand stream (a sequential decoder passes 0, 1, 2, ...;
+        the host path in ref/intra does the same)."""
         from cineform_tpu.bitstream import parse_sample
         from cineform_tpu.entropy import native as entropy_native
 
@@ -301,4 +308,4 @@ class IntraCodec:
                     jnp.asarray(np.stack([f[ch][1][k][b] for f in per_frame]))
                     for b in range(3)))
             coeffs.append((lowpass, bands))
-        return np.asarray(jax.device_get(self.inverse(coeffs)))
+        return np.asarray(jax.device_get(self.inverse(coeffs, frame_index)))

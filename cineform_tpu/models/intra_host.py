@@ -447,7 +447,8 @@ def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
     return out.astype("<u2").tobytes(), s
 
 
-def decode_sample(sample: bytes, dither: bool = True) -> tuple[bytes, object]:
+def decode_sample(sample: bytes, dither: bool = True,
+                  frame_index: int = 0) -> tuple[bytes, object]:
     """Decode a CFHD intra sample to YUY2 bytes. Returns (yuy2, parsed).
 
     With dither=True (default) the output replicates the reference
@@ -470,7 +471,8 @@ def decode_sample(sample: bytes, dither: bool = True) -> tuple[bytes, object]:
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
         if dither and row_draws is None:
-            row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8)
+            row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8,
+                                              frame_index)
         planes.append(xf.inverse_channel_to_8bit(
             c.lowpass, wb, prescale, dither=row_draws if dither else None))
     return xf.pack_yuy2(*planes), s

@@ -188,9 +188,13 @@ def test_raw_input_formats_encode_byte_exact():
 
 
 def test_rg24_encode_near_exact():
-    """RG24 (8-bit BGR, bottom-up): byte-exact except a 7-byte tail quirk in
-    one highpass band (the reference ends that band's entropy stream early;
-    under investigation)."""
+    """RG24 (8-bit BGR, bottom-up): byte-exact except the tail of one
+    highpass band.  Root cause (found round 2): the reference detects
+    "8-bit import at 10-bit precision" per band (`Codec/encoder.c:6860`,
+    quantized low-bits scan) and routes that band through
+    EncodeQuantLongRuns2Pass (`encoder.c:5112`, two-pass byte-plane
+    coding), whose stream ends without a band-end code; data-dependent,
+    affects one band of this noise fixture."""
     gold = _golden("raw_RG24.cfhd")
     meta = _metadata_from(gold)
     mine = _encode(api.PixelFormat.RG24, _raw_fill(320 * 240 * 3, 1),

@@ -125,3 +125,23 @@ def test_device_unpack_formats_match_sync_encoder(fmt, pixfmt):
     codec = IntraCodec(width=w, height=h, quality=4, input_format=fmt)
     got = codec.encode_batch_device(frame.reshape(1, h, row_bytes))[0]
     assert got == want
+
+
+def test_device_decode_multiframe_dither():
+    """decode_batch(frame_index=n) reproduces the host decoder's n-th
+    frame byte-for-byte (the rand dither stream advances per frame; round
+    1 baked frame 0's dither into the traced program)."""
+    from cineform_tpu.models import intra_host
+
+    w, h = 64, 48
+    codec = IntraCodec(width=w, height=h, quality=4)
+    frames = np.stack([np.frombuffer(yuy2_frame(w, h, p),
+                                     np.uint8).reshape(h, 2 * w)
+                       for p in (1, 2)])
+    samples = codec.encode_batch(frames)
+    for idx in (0, 1, 3):
+        dev = codec.decode_batch(samples, frame_index=idx)
+        for i, s in enumerate(samples):
+            host, _ = intra_host.decode_sample(s, frame_index=idx)
+            np.testing.assert_array_equal(
+                dev[i].reshape(-1), np.frombuffer(host, np.uint8), err_msg=str(idx))
