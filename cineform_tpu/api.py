@@ -206,6 +206,10 @@ class Encoder:
         self.encoded_format = encoded_format
         self.encoding_flags = encoding_flags
         self.quality = EncodingQuality(int(quality) & 0xFF)
+        #: full quality word incl. the *_UNCOMPRESSED target bits 8-12
+        #: (`Common/CFHDTypes.h:210-216`, `Codec/encoder.c:1979`)
+        self.quality_word = int(quality)
+        self._unc_last16 = [0] * 16
         self._pending_gop_frame = None
         self._prepared = True
 
@@ -243,11 +247,16 @@ class Encoder:
         if buf.size != self.height * row_bytes:
             raise CFHDError(ErrorCode.INVALID_ARGUMENT, "bad frame size")
         self._frame_number += 1
+        # per-frame metadata: the reference auto-increments UFRM and the
+        # timecode on every EncodeSample (`SampleEncoder.cpp:795-880`)
+        base_meta = self._metadata or intra_host.EncoderMetadata()
+        frame_meta = (base_meta.advanced(self._frame_number - 1)
+                      if hasattr(base_meta, "advanced") else base_meta)
         if self.pixel_format in (PixelFormat.RG48, PixelFormat.B64A):
             self._sample = intra_host.encode_sample_rgb(
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 alpha=(self.pixel_format == PixelFormat.B64A),
-                frame_number=self._frame_number, metadata=self._metadata)
+                frame_number=self._frame_number, metadata=frame_meta)
         elif self.pixel_format in (PixelFormat.R210, PixelFormat.DPX0,
                                    PixelFormat.RG30, PixelFormat.AB10,
                                    PixelFormat.AR10):
@@ -257,20 +266,20 @@ class Encoder:
             self._sample = intra_host.encode_sample_rgb10(
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 fourcc, frame_number=self._frame_number,
-                metadata=self._metadata)
+                metadata=frame_meta)
         elif self.pixel_format in (PixelFormat.BGRA, PixelFormat.RG24):
             self._sample = intra_host.encode_sample_rgb8(
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 "BGRA" if self.pixel_format == PixelFormat.BGRA else "RG24",
-                frame_number=self._frame_number, metadata=self._metadata)
+                frame_number=self._frame_number, metadata=frame_meta)
         elif self.pixel_format == PixelFormat.RG64:
             self._sample = intra_host.encode_sample_rg64(
                 buf.tobytes(), self.width, self.height, int(self.quality),
-                frame_number=self._frame_number, metadata=self._metadata)
+                frame_number=self._frame_number, metadata=frame_meta)
         elif self.pixel_format in (PixelFormat.BYR4, PixelFormat.BYR5):
             self._sample = intra_host.encode_sample_bayer(
                 buf.tobytes(), self.width, self.height, int(self.quality),
-                frame_number=self._frame_number, metadata=self._metadata,
+                frame_number=self._frame_number, metadata=frame_meta,
                 packed=(self.pixel_format == PixelFormat.BYR5))
         elif self.pixel_format == PixelFormat.YUY2 and gop:
             # 2-frame GOP: the first EncodeSample of each pair returns the
@@ -293,8 +302,31 @@ class Encoder:
         elif self.pixel_format == PixelFormat.YUY2:
             self._sample = intra_host.encode_sample(
                 buf.tobytes(), self.width, self.height, int(self.quality),
-                frame_number=self._frame_number, metadata=self._metadata)
+                frame_number=self._frame_number, metadata=frame_meta)
         else:
+            quality = int(self.quality)
+            quality_tag = None
+            if self.pixel_format == PixelFormat.V210 and \
+                    (self.quality_word >> 8) & 0x1F:
+                # uncompressed passthrough (`Codec/encoder.c:1971-2026`):
+                # eligible 10-bit formats roll a per-frame decision; frames
+                # not chosen fall back to FILMSCAN3
+                meta_block = frame_meta.block()
+                head = int.from_bytes(buf.tobytes()[:4], "little")
+                if intra_host.uncompressed_decision(
+                        head, meta_block, self.quality_word,
+                        self._unc_last16):
+                    self._sample = intra_host.write_sample_uncompressed(
+                        buf.tobytes(), self.width, self.height,
+                        self.quality_word, self._frame_number,
+                        frame_meta,
+                        input_format=self._INPUT_FORMAT_CODES[
+                            self.pixel_format])
+                    return
+                # the reference labels fallback samples quality 6 but
+                # quantizes with the q5 tables (pinned vs series goldens)
+                quality = 5
+                quality_tag = 6
             if self.pixel_format == PixelFormat.V210:
                 planes = xf.unpack_v210(buf.tobytes(), self.width, self.height,
                                         pitch=row_bytes)
@@ -303,9 +335,10 @@ class Encoder:
             else:
                 planes = xf.unpack_yu64(buf.tobytes(), self.width, self.height)
             self._sample = intra_host.encode_sample_planes(
-                planes, self.width, self.height, int(self.quality),
+                planes, self.width, self.height, quality,
                 input_format=self._INPUT_FORMAT_CODES[self.pixel_format],
-                frame_number=self._frame_number, metadata=self._metadata)
+                frame_number=self._frame_number, metadata=frame_meta,
+                quality_tag=quality_tag)
 
     # CFHD_GetSampleData
     def get_sample_data(self) -> bytes:

@@ -71,6 +71,29 @@ class EncoderMetadata:
         )
 
 
+    def advanced(self, k: int) -> "EncoderMetadata":
+        """Metadata for the k-th frame after this one: the reference's
+        CSampleEncoder auto-increments the unique frame number and the
+        timecode (24 fps default base) on every EncodeSample
+        (`EncoderSDK/SampleEncoder.cpp:795-880`)."""
+        if k == 0:
+            return self
+        from dataclasses import replace
+
+        try:
+            hh, mm, ss, ff = (int(x) for x in self.timecode.split(":"))
+            total = ((hh * 60 + mm) * 60 + ss) * 24 + ff + k
+            ff = total % 24
+            ss = (total // 24) % 60
+            mm = (total // (24 * 60)) % 60
+            hh = (total // (24 * 3600)) % 24
+            tc = f"{hh:02d}:{mm:02d}:{ss:02d}:{ff:02d}"
+        except ValueError:
+            tc = self.timecode
+        return replace(self, unique_frame=self.unique_frame + k,
+                       timecode=tc)
+
+
 @dataclass
 class EncodedChannel:
     lowpass: np.ndarray                      # int32 (h, w), raw 16-bit values
@@ -254,6 +277,110 @@ def write_sample(channels: list[EncodedChannel], params: IntraParams,
     return w.getvalue()
 
 
+def write_sample_uncompressed(raw_rows: bytes, width: int, height: int,
+                              quality_word: int, frame_number: int,
+                              metadata: EncoderMetadata | None,
+                              input_format: int,
+                              encoded_format: int = tags.ENCODED_FORMAT_YUV_422,
+                              colorspace: int = tags.COLOR_SPACE_BT_709
+                              ) -> bytes:
+    """Uncompressed passthrough sample (`Codec/encoder.c:7625-7720`):
+    the intra header (required-tag form, dummy channel index, no
+    precision tag), metadata, SKIP padding to a 16-byte boundary, then
+    the raw frame rows in a CODEC_TAG_UNCOMPRESS 24-bit chunk and a
+    trailer.  Byte-exact vs the reference for v210 input."""
+    w = SampleWriter()
+    w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_IFRAME)
+    w.put_tag(2, 3)                       # channel-count index header
+    for i in range(3):
+        w.put_tag(3, i)                   # dummy channel index entries
+    w.put_tag(tags.TRANSFORM_TYPE, tags.TRANSFORM_TYPE_SPATIAL)
+    w.put_tag(tags.NUM_FRAMES, 1)
+    w.put_tag(tags.NUM_CHANNELS, 3)
+    if input_format >= 100:
+        w.put_tag(tags.INPUT_FORMAT, input_format)
+    else:
+        w.put_tag_optional(tags.INPUT_FORMAT, input_format)
+    w.put_tag(tags.ENCODED_FORMAT, encoded_format)
+    w.put_tag_optional(tags.ENCODED_COLORSPACE, colorspace)
+    w.put_tag(tags.NUM_WAVELETS, 3)
+    w.put_tag(tags.NUM_SUBBANDS, 10)
+    w.put_tag(tags.NUM_SPATIAL, 2)
+    w.put_tag(tags.FIRST_WAVELET, tags.WAVELET_TYPE_SPATIAL)
+    w.put_tag(tags.FRAME_WIDTH, width)
+    w.put_tag(tags.FRAME_HEIGHT, height)
+    w.put_tag_optional(tags.FRAME_NUMBER, frame_number)
+    if frame_number > 1:
+        # the reference's later-frame headers include the precision tag
+        # (EncodeFirstSample omits it; pinned against series goldens)
+        w.put_tag(tags.PRECISION, tags.PRECISION_10BIT)
+    w.put_tag_optional(tags.FRAME_DISPLAY_HEIGHT, height)
+    w.put_tag_optional(tags.VERSION, tags.FILE_VERSION_CODE)
+    w.put_tag_optional(tags.QUALITY_L, quality_word & 0xFFFF)
+    w.put_tag_optional(tags.QUALITY_H, (quality_word >> 16) & 0xFFFF)
+    # the codec state's prescale table leaks into later uncompressed
+    # headers (0 on the first sample, the 10-bit intra table after any
+    # compressed frame; pinned against series goldens)
+    w.put_tag_optional(tags.PRESCALE_TABLE,
+                       0 if frame_number <= 1 else 0x2000)
+    w.push_chunk(tags.SAMPLE_SIZE)
+    meta = (metadata or EncoderMetadata()).block()
+    w.put_tag_optional(tags.METADATA_CHUNK, len(meta) // 4)
+    w.put_bytes(meta)
+    free_size = 512
+    w.put_tag_optional(tags.METADATA_CHUNK, free_size // 4)
+    w.put_bytes(b"FREE" + (free_size - 8).to_bytes(4, "little")
+                + b"\0" * (free_size - 8))
+    w.put_tag_optional(tags.INTERLACED_FLAGS, 0)
+    w.put_tag_optional(tags.PROTECTION_FLAGS, 0)
+    w.put_tag_optional(tags.PICTURE_ASPECT_X, 16)
+    w.put_tag_optional(tags.PICTURE_ASPECT_Y, 9)
+    w.put_tag(tags.SAMPLE_FLAGS, tags.SAMPLE_FLAGS_PROGRESSIVE)
+    # SKIP padding so the raw data lands on a 16-byte boundary
+    # (`encoder.c:7630-7646`)
+    alignment = (len(w.buf) & 0xF) + 4
+    while alignment & 0xC:
+        w.put_tag_optional(tags.SKIP, 0)
+        alignment += 4
+    size_words = len(raw_rows) >> 2
+    w.put_tag(tags.UNCOMPRESSED | (size_words >> 16), size_words & 0xFFFF)
+    w.put_bytes(raw_rows)
+    w.put_tag(tags.FRAME_TRAILER, 0)
+    # the sample-size chunk is NOT patched over the raw payload in the
+    # reference; pop without rewriting beyond its 24-bit capacity
+    w.pop_chunk()
+    return w.getvalue()
+
+
+def uncompressed_decision(frame_head_u32: int, metadata_block: bytes,
+                          quality_word: int, last16: list[int]) -> bool:
+    """The reference's per-frame uncompressed selection
+    (`Codec/encoder.c:1979-2016`): a target count out of each 16 frames,
+    adapted by the recent window, decided by glibc rand() seeded from the
+    frame's first word + the CRC32 of the metadata block."""
+    import zlib
+
+    from cineform_tpu.utils.glibc_random import glibc_rand_sequence
+
+    target = (quality_word >> 8) & 0x1F
+    if target <= 0:
+        return False
+    count = sum(1 for v in last16 if v)
+    del last16[0]
+    last16.append(0)
+    target += target - count
+    if target < 0:
+        target = 0
+    seed = frame_head_u32 & 0xFFFFFFFF
+    if metadata_block:
+        seed = (seed + zlib.crc32(metadata_block)) & 0xFFFFFFFF
+    draw = int(glibc_rand_sequence(1, seed if seed else 0)[0])
+    if (draw & 15) < target:
+        last16[-1] = 1
+        return True
+    return False
+
+
 def encode_sample(frame_yuy2: bytes, width: int, height: int, quality: int,
                   frame_number: int = 1,
                   metadata: EncoderMetadata | None = None) -> bytes:
@@ -267,12 +394,24 @@ def encode_sample(frame_yuy2: bytes, width: int, height: int, quality: int,
 def encode_sample_planes(planes: list[np.ndarray], width: int, height: int,
                          quality: int, input_format: int,
                          frame_number: int = 1,
-                         metadata: EncoderMetadata | None = None) -> bytes:
-    """Encode pre-unpacked 10-bit [Y, C1, C2] planes (v210/YU64 front ends)."""
+                         metadata: EncoderMetadata | None = None,
+                         quality_tag: int | None = None) -> bytes:
+    """Encode pre-unpacked 10-bit [Y, C1, C2] planes (v210/YU64 front ends).
+
+    quality_tag: value written into QUALITY_L when it differs from the
+    quantization tables actually used (the reference's uncompressed
+    fallback labels samples quality 6 but quantizes with the q5 tables;
+    `Codec/encoder.c:2022-2026`, pinned against series goldens)."""
     params = IntraParams(width=width, height=height, quality=quality)
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
-    return write_sample(channels, params, frame_number, metadata,
-                        input_format=input_format)
+    sample = write_sample(channels, params, frame_number, metadata,
+                          input_format=input_format)
+    if quality_tag is not None and quality_tag != quality:
+        import struct
+        needle = struct.pack(">hH", -(tags.QUALITY_L), quality & 0xFFFF)
+        repl = struct.pack(">hH", -(tags.QUALITY_L), quality_tag & 0xFFFF)
+        sample = sample.replace(needle, repl, 1)
+    return sample
 
 
 def encode_sample_rgb(frame: bytes, width: int, height: int, quality: int,

@@ -15,12 +15,18 @@ import numpy as np
 def glibc_rand_sequence(n: int, seed: int = 1) -> np.ndarray:
     """First n outputs of glibc rand() with the given seed."""
     r = np.zeros(344 + n, dtype=np.uint64)
-    r[0] = seed
+    # glibc __srandom_r keeps the seed in a SIGNED 32-bit word and runs
+    # Schrage's method with C truncating division (matters for seeds
+    # >= 2^31, which appear e.g. in the uncompressed-frame decision,
+    # `Codec/encoder.c:2006` srand(first frame word))
+    word = seed & 0xFFFFFFFF
+    if word >= 1 << 31:
+        word -= 1 << 32
+    r[0] = np.uint64(word & 0xFFFFFFFF)
     for i in range(1, 31):
-        # r[i] = (16807 * r[i-1]) % 2147483647, Schrage without overflow
-        prev = int(r[i - 1])
-        hi, lo = divmod(prev, 127773)
-        word = 16807 * lo - 2836 * hi
+        q = int(word / 127773) if word >= 0 else -((-word) // 127773)
+        lo = word - q * 127773
+        word = 16807 * lo - 2836 * q
         if word < 0:
             word += 2147483647
         r[i] = word

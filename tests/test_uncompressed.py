@@ -1,0 +1,75 @@
+"""Uncompressed passthrough mode (`Codec/encoder.c:1971-2026, 7625-7720`).
+
+Eligible 10-bit formats (v210 here) with an *_UNCOMPRESSED quality roll a
+per-frame decision (glibc rand seeded from the frame's first word + the
+CRC32 of the attached metadata block, with a 16-frame sliding window);
+chosen frames are stored as raw rows in a CODEC_TAG_UNCOMPRESS chunk.
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_gop import _metadata_from  # noqa: E402
+
+from cineform_tpu import api  # noqa: E402
+from cineform_tpu.utils.testframes import v210_frame  # noqa: E402
+
+REFBIN = "/root/repo/.refbuild/probe_sample"
+
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+def test_uncompressed_series_matches_reference():
+    """12-frame v210 series at QUARTER_UNCOMPRESSED |FILMSCAN1: the
+    per-frame uncompressed selection matches the reference exactly, and
+    every uncompressed sample is byte-exact.  (Compressed fallback frames
+    match except a known later-frame quant-state effect in the deepest
+    chroma band — see STATUS.md.)"""
+    w, h, q, n = 96, 48, 0x0404, 12
+    with tempfile.TemporaryDirectory() as tmp:
+        base = os.path.join(tmp, "us.cfhd")
+        r = subprocess.run([REFBIN, "encode_v210_series", str(w), str(h),
+                            str(q), str(n), base],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        golds = [open(f"{base}.f{f}", "rb").read() for f in range(n)]
+
+    meta = _metadata_from(golds[0])
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.V210, quality=q)
+    enc.attach_metadata(meta)
+    ref_unc = [len(g) > 10000 for g in golds]
+    assert any(ref_unc) and not all(ref_unc)
+    for f in range(n):
+        enc.encode_sample(v210_frame(w, h, f + 1))
+        mine = enc.get_sample_data()
+        assert (len(mine) > 10000) == ref_unc[f], f
+        if ref_unc[f]:
+            assert mine == golds[f], f
+
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+def test_uncompressed_single_frame_byte_exact():
+    """A first-frame uncompressed sample is byte-exact (different header
+    form than later frames: no precision tag, prescale 0)."""
+    w, h = 320, 240
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "unc.cfhd")
+        r = subprocess.run([REFBIN, "encode_v210", str(w), str(h),
+                            str(0x1004), "1", path], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        gold = open(path, "rb").read()
+    assert len(gold) > 200000          # raw passthrough size
+    meta = _metadata_from(gold)
+    payload_off = len(gold) - (((w + 47) // 48) * 128 * h) - 4
+    raw = gold[payload_off:payload_off + ((w + 47) // 48) * 128 * h]
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.V210, quality=0x1004)
+    enc.attach_metadata(meta)
+    enc.encode_sample(raw)
+    assert enc.get_sample_data() == gold

@@ -409,6 +409,53 @@ static int do_encode_3d(int w, int h, int quality, int pattern,
     return 0;
 }
 
+/* Encode N v210 frames at an uncompressed-target quality; print sizes
+ * (the per-frame uncompressed decision, `Codec/encoder.c:1979-2018`). */
+static int do_encode_v210_series(int w, int h, int quality, int nframes,
+                                 const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_V210,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    int pitch = ((w + 47) / 48) * 128;
+    uint16_t *yb = (uint16_t *)malloc(w * h * 2);
+    uint16_t *ub = (uint16_t *)malloc(w * h), *vb = (uint16_t *)malloc(w * h);
+    uint32_t *buf = (uint32_t *)calloc(h, pitch);
+    for (int f = 0; f < nframes; f++) {
+        fill_components10(w, h, f + 1, yb, ub, vb);
+        for (int y = 0; y < h; y++) {
+            uint32_t *row = buf + (size_t)y * pitch / 4;
+            const uint16_t *yp = yb + (size_t)y * w;
+            const uint16_t *up = ub + (size_t)y * (w / 2);
+            const uint16_t *vp = vb + (size_t)y * (w / 2);
+            for (int x = 0; x < w; x += 6) {
+                row[0] = (uint32_t)up[0] | ((uint32_t)yp[0] << 10) | ((uint32_t)vp[0] << 20);
+                row[1] = (uint32_t)yp[1] | ((uint32_t)up[1] << 10) | ((uint32_t)yp[2] << 20);
+                row[2] = (uint32_t)vp[1] | ((uint32_t)yp[3] << 10) | ((uint32_t)up[2] << 20);
+                row[3] = (uint32_t)yp[4] | ((uint32_t)vp[2] << 10) | ((uint32_t)yp[5] << 20);
+                row += 4; yp += 6; up += 3; vp += 3;
+            }
+        }
+        err = CFHD_EncodeSample(enc, buf, pitch);
+        void *sample = NULL; size_t size = 0;
+        CFHD_GetSampleData(enc, &sample, &size);
+        printf("frame %d size %zu\n", f, size);
+        if (path) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d", path, f);
+            FILE *fp = fopen(name, "wb");
+            fwrite(sample, 1, size, fp);
+            fclose(fp);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    return 0;
+}
+
 /* Decode one eye (cact mask 1 = left, 2 = right) of a 3D sample. */
 static int do_decode_3d(const char *inpath, const char *outpath, int cact)
 {
@@ -789,6 +836,10 @@ int main(int argc, char **argv)
     if (argc >= 8 && !strcmp(argv[1], "encode_raw"))
         return do_encode_raw(argv[2], atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), atoi(argv[6]), argv[7]);
+    if (argc >= 6 && !strcmp(argv[1], "encode_v210_series"))
+        return do_encode_v210_series(atoi(argv[2]), atoi(argv[3]),
+                                     atoi(argv[4]), atoi(argv[5]),
+                                     argc > 6 ? argv[6] : NULL);
         if (argc >= 5 && !strcmp(argv[1], "decode_3d"))
         return do_decode_3d(argv[2], argv[3], atoi(argv[4]));
     if (argc >= 7 && !strcmp(argv[1], "encode_gop_ilace"))
