@@ -177,11 +177,21 @@ class IntraCodec:
         return out
 
     def _frame_meta(self, batch, first_frame_number, frame_numbers, metadata):
+        from cineform_tpu.models.intra_host import EncoderMetadata
+
         if frame_numbers is None:
             frame_numbers = [first_frame_number + i for i in range(batch)]
         if not isinstance(metadata, (list, tuple)):
             metadata = [metadata] * batch
-        return frame_numbers, metadata
+        # per-frame metadata advance (UFRM + timecode), matching the sync
+        # encoder: the reference bumps both on every EncodeSample
+        # (`EncoderSDK/SampleEncoder.cpp:795-880`)
+        out = []
+        for fn, m in zip(frame_numbers, metadata):
+            base = m if m is not None else EncoderMetadata()
+            out.append(base.advanced(fn - 1)
+                       if hasattr(base, "advanced") and fn >= 1 else base)
+        return frame_numbers, out
 
     def encode_batch_device(self, frames: np.ndarray,
                             first_frame_number: int = 1,

@@ -67,6 +67,20 @@ def h26_forward(x: jnp.ndarray, prescale: int = 0):
         + 4 * pe[..., 1] + 4 * po[..., 1]
         - pe[..., 2] - po[..., 2] + ROUNDING
     ) >> 3
+    if x.shape[-1] <= 16:
+        # Narrow-row quirk of the reference's SSE2 row filters
+        # (`Codec/spatial.c:912-1016,3669-4001`): at width <= 16 the SIMD
+        # main loop never runs, the true left-border highpass value is
+        # dropped, and the scalar tail applies the CENTER filter at
+        # column 0 whose input[-2..-1] overread lands on the previous
+        # row's last two (prescaled) pixels; the first row and rows of
+        # pad-pitched images see fresh-allocation zeros (see the host
+        # twin in ref/intra._h26_forward, validated byte-exact vs the
+        # reference at 64x48..144x96).
+        prev = jnp.zeros_like(plow[..., 0])
+        if x.shape[-1] % 8 == 0:
+            prev = prev.at[..., 1:].set(plow[..., :-1, -1])
+        first = ((-prev + plow[..., 1] + ROUNDING) >> 3) + diff[..., 0]
     last = (
         11 * pe[..., -1] - 5 * po[..., -1]
         - 4 * po[..., -2] - 4 * pe[..., -2]

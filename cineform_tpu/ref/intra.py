@@ -182,6 +182,26 @@ def _h26_forward(x: np.ndarray, prescale: int = 0) -> tuple[np.ndarray, np.ndarr
         + 4 * pe[..., 1] + 4 * po[..., 1]
         - pe[..., 2] - po[..., 2] + ROUNDING
     ) >> 3
+    if x.shape[-1] <= 16 and x.ndim >= 2:
+        # Narrow-row quirk of the SSE2 FilterHorizontalRow16s
+        # (`Codec/spatial.c:912-1016`) and its prescaled twin
+        # FilterHorizontalRow10bit16s (`Codec/spatial.c:3669-4001`): with
+        # width <= 16 the vectorized main loop never runs (post_column ==
+        # 0), and the left-border highpass value it would have shifted
+        # into column 0 is dropped.  The scalar tail then starts at
+        # column 0 with the CENTER filter, whose input[-2..-1] reads run
+        # off the row start into the last two pixels of the previous row
+        # (the row pitch for widths 8/16 equals the width); the first row
+        # reads fresh-allocation zeros.  In the prescaled variant the
+        # overread pixels go through the same (x+3)>>2 per-element
+        # prescale, so the pe/po arrays apply to both.
+        prev = np.zeros_like(plow[..., 0])
+        if x.shape[-1] % 8 == 0:
+            # pitch == width: the overread lands on the previous row
+            prev[..., 1:] = plow[..., :-1, -1]
+        # else: the 16-byte row pitch leaves >= 2 never-written pad pixels
+        # at the end of each row, so the overread sees zeros on every row
+        high[..., 0] = ((-prev + plow[..., 1] + ROUNDING) >> 3) + diff[..., 0]
     high[..., -1] = (
         11 * pe[..., -1] - 5 * po[..., -1]
         - 4 * po[..., -2] - 4 * pe[..., -2]

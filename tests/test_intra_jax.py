@@ -34,8 +34,11 @@ def test_jax_batch_encode_matches_host():
     ])
     samples = codec.encode_batch(frames)
     for i, p in enumerate((0, 1, 2, 3)):
-        host = intra_host.encode_sample(yuy2_frame(w, h, p), w, h, q,
-                                        frame_number=1 + i)
+        # the batch path advances UFRM/timecode per frame like the
+        # reference's per-EncodeSample metadata bump
+        host = intra_host.encode_sample(
+            yuy2_frame(w, h, p), w, h, q, frame_number=1 + i,
+            metadata=intra_host.EncoderMetadata().advanced(i))
         assert samples[i] == host
 
 
@@ -80,8 +83,9 @@ def test_device_entropy_samples_byte_exact():
     codec = IntraCodec(width=w, height=h, quality=4)
     dev = codec.encode_batch_device(frames, first_frame_number=1)
     for i in range(2):
-        ref = intra_host.encode_sample(frames[i].tobytes(), w, h, 4,
-                                       frame_number=1 + i)
+        ref = intra_host.encode_sample(
+            frames[i].tobytes(), w, h, 4, frame_number=1 + i,
+            metadata=intra_host.EncoderMetadata().advanced(i))
         assert dev[i] == ref
 
     gold = open("tests/golden/samples/s_320x240_q4_p1.cfhd", "rb").read()
@@ -92,8 +96,9 @@ def test_device_entropy_samples_byte_exact():
     rng = np.random.default_rng(0)
     noisy = rng.integers(0, 256, size=(1, h, 2 * w), dtype=np.uint8)
     s_small = codec.encode_batch_device(noisy, 7, cap_bits=2)
-    s_ref = intra_host.encode_sample(noisy[0].tobytes(), w, h, 4,
-                                     frame_number=7)
+    s_ref = intra_host.encode_sample(
+        noisy[0].tobytes(), w, h, 4, frame_number=7,
+        metadata=intra_host.EncoderMetadata().advanced(6))
     assert s_small[0] == s_ref
 
 

@@ -35,7 +35,9 @@ def test_pool_in_order_delivery_and_determinism():
     assert [b.frame_number for b in out] == list(range(1, n + 1))
     # identical to the synchronous encoder
     for i, buf in enumerate(out):
-        ref = intra_host.encode_sample(frames[i], w, h, 4, frame_number=i + 1)
+        ref = intra_host.encode_sample(
+            frames[i], w, h, 4, frame_number=i + 1,
+            metadata=intra_host.EncoderMetadata().advanced(i))
         assert buf.get_encoded_sample() == ref
 
 

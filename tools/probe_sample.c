@@ -456,6 +456,39 @@ static int do_encode_v210_series(int w, int h, int quality, int nframes,
     return 0;
 }
 
+/* Encode a multi-frame YUY2 series with ONE encoder instance, saving each
+ * sample, to expose cross-frame encoder state (quant adaptation). */
+static int do_encode_series(int w, int h, int quality, int nframes,
+                            const char *path)
+{
+    CFHD_EncoderRef enc = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_YUY2,
+                                          CFHD_ENCODED_FORMAT_YUV_422,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    uint8_t *frame = (uint8_t *)malloc((size_t)w * h * 2);
+    for (int f = 0; f < nframes; f++) {
+        fill_yuy2(frame, w, h, f + 1);
+        err = CFHD_EncodeSample(enc, frame, w * 2);
+        if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+        void *sample = NULL; size_t size = 0;
+        CFHD_GetSampleData(enc, &sample, &size);
+        printf("frame %d size %zu\n", f, size);
+        if (path) {
+            char name[512];
+            snprintf(name, sizeof(name), "%s.f%d", path, f);
+            FILE *fp = fopen(name, "wb");
+            fwrite(sample, 1, size, fp);
+            fclose(fp);
+        }
+    }
+    CFHD_CloseEncoder(enc);
+    free(frame);
+    return 0;
+}
+
 /* Decode one eye (cact mask 1 = left, 2 = right) of a 3D sample. */
 static int do_decode_3d(const char *inpath, const char *outpath, int cact)
 {
@@ -836,6 +869,9 @@ int main(int argc, char **argv)
     if (argc >= 8 && !strcmp(argv[1], "encode_raw"))
         return do_encode_raw(argv[2], atoi(argv[3]), atoi(argv[4]),
                              atoi(argv[5]), atoi(argv[6]), argv[7]);
+    if (argc >= 6 && !strcmp(argv[1], "encode_series"))
+        return do_encode_series(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                                atoi(argv[5]), argc > 6 ? argv[6] : NULL);
     if (argc >= 6 && !strcmp(argv[1], "encode_v210_series"))
         return do_encode_v210_series(atoi(argv[2]), atoi(argv[3]),
                                      atoi(argv[4]), atoi(argv[5]),
