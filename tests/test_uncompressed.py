@@ -27,9 +27,9 @@ REFBIN = "/root/repo/.refbuild/probe_sample"
 def test_uncompressed_series_matches_reference():
     """12-frame v210 series at QUARTER_UNCOMPRESSED |FILMSCAN1: the
     per-frame uncompressed selection matches the reference exactly, and
-    every uncompressed sample is byte-exact.  (Compressed fallback frames
-    match except a known later-frame quant-state effect in the deepest
-    chroma band — see STATUS.md.)"""
+    EVERY sample — uncompressed and compressed fallback — is byte-exact
+    (the fallback frames' deepest chroma band exercises the width<=16
+    row-filter quirk, see ref/intra._h26_forward)."""
     w, h, q, n = 96, 48, 0x0404, 12
     with tempfile.TemporaryDirectory() as tmp:
         base = os.path.join(tmp, "us.cfhd")
@@ -49,8 +49,7 @@ def test_uncompressed_series_matches_reference():
         enc.encode_sample(v210_frame(w, h, f + 1))
         mine = enc.get_sample_data()
         assert (len(mine) > 10000) == ref_unc[f], f
-        if ref_unc[f]:
-            assert mine == golds[f], f
+        assert mine == golds[f], f
 
 
 @pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
