@@ -165,8 +165,14 @@ def forward_channel_gop(frame0: np.ndarray, frame1: np.ndarray,
         ll1, b1 = frame_wavelet_forward(frame1, band_quant[1])
     tlow = xf.sat16(ll0.astype(np.int32) + ll1)
     thigh = xf.sat16(ll1.astype(np.int32) - ll0)
-    # w3: spatial of temporal high; LL coded with quantizer 1
-    ll3, h3 = xf.dwt2d_forward(thigh, 0, band_quant[3][1:])
+    # w3: spatial of temporal high; LL coded with quantizer 1.  The input
+    # is band 1 of the reference's two-band temporal wavelet, so at
+    # narrow widths its row-0 overread (see xf._h26_forward) lands on
+    # band 0's (the temporal lowpass') last two pixels when band 0's
+    # region is exactly cache-line sized.
+    r0 = tlow[-1, -2:] if (2 * thigh.shape[1] * thigh.shape[0]) % 64 == 0 \
+        else None
+    ll3, h3 = xf.dwt2d_forward(thigh, 0, band_quant[3][1:], row0_prev=r0)
     w3 = (xf.quantize(ll3, band_quant[3][0]),) + h3
     # w4: spatial of temporal low with prescale 2
     ll4, w4 = xf.dwt2d_forward(tlow, 2, band_quant[4])

@@ -155,13 +155,20 @@ def pack_yuy2(y: np.ndarray, v: np.ndarray, u: np.ndarray) -> bytes:
 # Forward 2-6 DWT (production variants)
 # ---------------------------------------------------------------------------
 
-def _h26_forward(x: np.ndarray, prescale: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def _h26_forward(x: np.ndarray, prescale: int = 0,
+                 row0_prev: np.ndarray | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Horizontal 2-6 forward.
 
     prescale=0: `FilterHorizontalRow16s` (`Codec/spatial.c:253`).
     prescale=2: `FilterHorizontalRow10bit16s` (`Codec/spatial.c:3669`) —
       highpass taps use per-element px=(x+3)>>2; the stored lowpass is
       (x0+x1+3)>>2.
+    row0_prev: for the width<=16 narrow-row quirk (below), the two raw
+      pixels sitting in memory before the image's first row.  For a
+      band-0 input this is fresh-allocation zeros (the default); a
+      band-1 input (the GOP's temporal-highpass spatial) is preceded by
+      band 0, so its row 0 overreads band 0's last two pixels.
     """
     x = x.astype(_I32)
     even, odd = x[..., 0::2], x[..., 1::2]
@@ -199,6 +206,12 @@ def _h26_forward(x: np.ndarray, prescale: int = 0) -> tuple[np.ndarray, np.ndarr
         if x.shape[-1] % 8 == 0:
             # pitch == width: the overread lands on the previous row
             prev[..., 1:] = plow[..., :-1, -1]
+            if row0_prev is not None:
+                p0, p1 = int(row0_prev[0]), int(row0_prev[1])
+                if prescale:
+                    r = (1 << prescale) - 1
+                    p0, p1 = (p0 + r) >> prescale, (p1 + r) >> prescale
+                prev[..., 0] = p0 + p1
         # else: the 16-byte row pitch leaves >= 2 never-written pad pixels
         # at the end of each row, so the overread sees zeros on every row
         high[..., 0] = ((-prev + plow[..., 1] + ROUNDING) >> 3) + diff[..., 0]
@@ -242,14 +255,15 @@ def quantize(v: np.ndarray, q: int, midpoint_prequant: int = 2) -> np.ndarray:
 
 
 def dwt2d_forward(x: np.ndarray, prescale: int = 0,
-                  quant: tuple[int, int, int] | None = None):
+                  quant: tuple[int, int, int] | None = None,
+                  row0_prev: np.ndarray | None = None):
     """One 2D production DWT level: horizontal (optionally prescaled) then
     vertical; returns (LL, (LH, HL, HH)) with optional fused quantization.
 
     Band order matches the reference: band1 = horizontal-high/vertical-low
     ("lowhigh"), band2 = horizontal-low/vertical-high ("highlow"), band3 = HH.
     """
-    low, high = _h26_forward(x, prescale)
+    low, high = _h26_forward(x, prescale, row0_prev)
     ll, hl = v26_forward(low)
     lh, hh = v26_forward(high)
     if quant is not None:

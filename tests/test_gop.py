@@ -167,12 +167,35 @@ def test_gop_jax_encode_byte_exact():
 
 
 # ---------------------------------------------------------------------------
+# Narrow widths (the reference's width<=16 SSE2 row-filter quirk; the
+# GOP's temporal-high spatial is a band-1 input whose row-0 overread
+# lands on the temporal lowpass' last pixels — ref/gop.py w3)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+@pytest.mark.parametrize("w,h", [(64, 48), (96, 48)])
+def test_narrow_gop_encode_byte_exact(w, h):
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "g.cfhd")
+        r = subprocess.run([REFBIN, "encode_gop", str(w), str(h), "4", "1",
+                            path], capture_output=True)
+        assert r.returncode == 0, r.stderr
+        golden = open(path + ".f1", "rb").read()
+    mine = gop_host.encode_group(yuy2_frame(w, h, 1), yuy2_frame(w, h, 2),
+                                 w, h, 4, 1, _metadata_from(golden))
+    assert mine == golden
+
+
+# ---------------------------------------------------------------------------
 # Interlaced (HORZTEMP frame wavelet) GOP
 # ---------------------------------------------------------------------------
 
 @pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
 @pytest.mark.parametrize("w,h,q,pat", [(320, 240, 4, 7), (320, 240, 1, 3),
-                                       (192, 120, 6, 11)])
+                                       (192, 120, 6, 11), (64, 48, 4, 1)])
 def test_interlaced_gop_encode_byte_exact(w, h, q, pat):
     """Interlaced encode is byte-exact vs the reference binary: HORZTEMP
     frame wavelets with the difference-coded HL band (codeset 18 + peaks

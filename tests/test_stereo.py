@@ -25,8 +25,8 @@ REFBIN = "/root/repo/.refbuild/probe_sample"
 
 
 @pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
-def test_3d_encode_byte_exact():
-    w, h, q = 320, 240, 4
+@pytest.mark.parametrize("w,h,q", [(320, 240, 4), (64, 48, 4)])
+def test_3d_encode_byte_exact(w, h, q):
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "s3d.cfhd")
         r = subprocess.run([REFBIN, "encode_3d", str(w), str(h), str(q),
