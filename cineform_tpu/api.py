@@ -210,6 +210,9 @@ class Encoder:
         #: (`Common/CFHDTypes.h:210-216`, `Codec/encoder.c:1979`)
         self.quality_word = int(quality)
         self._unc_last16 = [0] * 16
+        #: True once a compressed frame has initialized the codec state
+        #: (prescale table); uncompressed samples switch header form then
+        self._compressed_encoded = False
         self._pending_gop_frame = None
         self._prepared = True
 
@@ -321,7 +324,8 @@ class Encoder:
                         self.quality_word, self._frame_number,
                         frame_meta,
                         input_format=self._INPUT_FORMAT_CODES[
-                            self.pixel_format])
+                            self.pixel_format],
+                        later_form=self._compressed_encoded)
                     return
                 # the reference labels fallback samples quality 6 but
                 # quantizes with the q5 tables (pinned vs series goldens)
@@ -339,6 +343,9 @@ class Encoder:
                 input_format=self._INPUT_FORMAT_CODES[self.pixel_format],
                 frame_number=self._frame_number, metadata=frame_meta,
                 quality_tag=quality_tag)
+        # every non-uncompressed branch reaches here: the codec state
+        # (prescale table) is initialized by the first compressed frame
+        self._compressed_encoded = True
 
     # CFHD_GetSampleData
     def get_sample_data(self) -> bytes:

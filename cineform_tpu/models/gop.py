@@ -56,7 +56,11 @@ class GopCodec:
             ll1, b1 = ops.dwt2d_forward(p1[ch], 0, bq[1])
             tlow = ops.sat16(ll0 + ll1)
             thigh = ops.sat16(ll1 - ll0)
-            ll3, h3 = ops.dwt2d_forward(thigh, 0, bq[3][1:])
+            # band-1 input: at narrow widths the row-0 overread lands on
+            # the temporal lowpass' last two pixels (see ref/gop.py w3)
+            r0 = tlow[..., -1, -2:] if (2 * thigh.shape[-1] *
+                                        thigh.shape[-2]) % 64 == 0 else None
+            ll3, h3 = ops.dwt2d_forward(thigh, 0, bq[3][1:], row0_prev=r0)
             w3 = (ops.quantize(ll3, bq[3][0]),) + h3
             ll4, w4 = ops.dwt2d_forward(tlow, 2, bq[4])
             ll5, w5 = ops.dwt2d_forward(ll4, 0, bq[5])

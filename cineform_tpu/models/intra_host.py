@@ -282,8 +282,8 @@ def write_sample_uncompressed(raw_rows: bytes, width: int, height: int,
                               metadata: EncoderMetadata | None,
                               input_format: int,
                               encoded_format: int = tags.ENCODED_FORMAT_YUV_422,
-                              colorspace: int = tags.COLOR_SPACE_BT_709
-                              ) -> bytes:
+                              colorspace: int = tags.COLOR_SPACE_BT_709,
+                              later_form: bool | None = None) -> bytes:
     """Uncompressed passthrough sample (`Codec/encoder.c:7625-7720`):
     the intra header (required-tag form, dummy channel index, no
     precision tag), metadata, SKIP padding to a 16-byte boundary, then
@@ -310,19 +310,23 @@ def write_sample_uncompressed(raw_rows: bytes, width: int, height: int,
     w.put_tag(tags.FRAME_WIDTH, width)
     w.put_tag(tags.FRAME_HEIGHT, height)
     w.put_tag_optional(tags.FRAME_NUMBER, frame_number)
-    if frame_number > 1:
-        # the reference's later-frame headers include the precision tag
-        # (EncodeFirstSample omits it; pinned against series goldens)
+    # The "later" header form (precision tag + leaked 10-bit prescale
+    # table) appears only after a COMPRESSED frame has initialized the
+    # codec state — NOT simply from the 2nd sample on: a series whose
+    # first frames are all uncompressed keeps the first form (pinned
+    # against reference series where the decision chose UNC,UNC,...)
+    if later_form is None:
+        later_form = frame_number > 1
+    if later_form:
         w.put_tag(tags.PRECISION, tags.PRECISION_10BIT)
     w.put_tag_optional(tags.FRAME_DISPLAY_HEIGHT, height)
     w.put_tag_optional(tags.VERSION, tags.FILE_VERSION_CODE)
     w.put_tag_optional(tags.QUALITY_L, quality_word & 0xFFFF)
     w.put_tag_optional(tags.QUALITY_H, (quality_word >> 16) & 0xFFFF)
     # the codec state's prescale table leaks into later uncompressed
-    # headers (0 on the first sample, the 10-bit intra table after any
-    # compressed frame; pinned against series goldens)
-    w.put_tag_optional(tags.PRESCALE_TABLE,
-                       0 if frame_number <= 1 else 0x2000)
+    # headers (0 until a compressed frame sets the 10-bit intra table;
+    # pinned against series goldens)
+    w.put_tag_optional(tags.PRESCALE_TABLE, 0x2000 if later_form else 0)
     w.push_chunk(tags.SAMPLE_SIZE)
     meta = (metadata or EncoderMetadata()).block()
     w.put_tag_optional(tags.METADATA_CHUNK, len(meta) // 4)

@@ -45,11 +45,14 @@ def _interleave(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
 # Forward
 # ---------------------------------------------------------------------------
 
-def h26_forward(x: jnp.ndarray, prescale: int = 0):
+def h26_forward(x: jnp.ndarray, prescale: int = 0,
+                row0_prev: jnp.ndarray | None = None):
     """Horizontal production 2-6 forward along the last axis.
 
     prescale=2: per-tap (x+3)>>2 for the highpass, (x0+x1+3)>>2 lowpass
-    (`FilterHorizontalRow10bit16s`)."""
+    (`FilterHorizontalRow10bit16s`).
+    row0_prev: raw (..., 2) pixels preceding the first row in memory, for
+    the narrow-row quirk below (a band-1 input is preceded by band 0)."""
     even, odd = _split_even_odd(x)
     if prescale:
         r = (1 << prescale) - 1
@@ -80,6 +83,11 @@ def h26_forward(x: jnp.ndarray, prescale: int = 0):
         prev = jnp.zeros_like(plow[..., 0])
         if x.shape[-1] % 8 == 0:
             prev = prev.at[..., 1:].set(plow[..., :-1, -1])
+            if row0_prev is not None:
+                p = row0_prev
+                if prescale:
+                    p = (p + ((1 << prescale) - 1)) >> prescale
+                prev = prev.at[..., 0].set(p[..., 0] + p[..., 1])
         first = ((-prev + plow[..., 1] + ROUNDING) >> 3) + diff[..., 0]
     last = (
         11 * pe[..., -1] - 5 * po[..., -1]
@@ -155,9 +163,10 @@ def dequantize(codes: jnp.ndarray, q: int) -> jnp.ndarray:
 
 
 def dwt2d_forward(x: jnp.ndarray, prescale: int = 0,
-                  quant: tuple[int, int, int] | None = None):
+                  quant: tuple[int, int, int] | None = None,
+                  row0_prev: jnp.ndarray | None = None):
     """One production 2D level; returns (LL, (LH, HL, HH))."""
-    low, high = h26_forward(x, prescale)
+    low, high = h26_forward(x, prescale, row0_prev)
     ll, hl = v26_forward(low)
     lh, hh = v26_forward(high)
     if quant is not None:
