@@ -71,7 +71,7 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
     frames1 = []
     d0 = xf.decode_dither_rows(s.height, 0) if dither and progressive else None
     d1 = xf.decode_dither_rows(s.height, 1) if dither and progressive else None
-    for c in s.channels:
+    for ci, c in enumerate(s.channels):
         bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
         for b in c.bands:
             if b.subband == 255 or b.subband == 0:
@@ -102,7 +102,8 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
         wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
         f0, f1 = gxf.inverse_channel_gop(
             c.lowpass, wb, reference_compatible=reference_compatible,
-            dither0=d0, dither1=d1, progressive=progressive)
+            dither0=d0, dither1=d1, progressive=progressive,
+            dither_group=16 if ci == 0 else 8)
         frames0.append(f0)
         frames1.append(f1)
     return xf.pack_yuy2(*frames0), xf.pack_yuy2(*frames1)

@@ -39,8 +39,8 @@ def _dither_planes(height: int, width: int, frame_index: int = 0):
     from cineform_tpu.ref import intra as xf
 
     rows = xf.decode_dither_rows(height, frame_index)
-    return (xf.decode_dither_plane(rows, width).astype(np.uint8),
-            xf.decode_dither_plane(rows, width // 2).astype(np.uint8))
+    return (xf.decode_dither_plane(rows, width, 16).astype(np.uint8),
+            xf.decode_dither_plane(rows, width // 2, 8).astype(np.uint8))
 
 
 # device-side input unpack + the COLOR_FORMAT code for the sample header

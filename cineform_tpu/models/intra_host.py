@@ -604,7 +604,7 @@ def decode_sample(sample: bytes, dither: bool = True,
     prescale = intra_prescale(s.precision)[:3]
     row_draws = None
     planes = []
-    for c in s.channels:
+    for ci, c in enumerate(s.channels):
         bands: list[dict] = [dict() for _ in range(3)]
         for b in c.bands:
             widx = 2 - (b.subband - 1) // 3
@@ -617,7 +617,8 @@ def decode_sample(sample: bytes, dither: bool = True,
             row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8,
                                               frame_index)
         planes.append(xf.inverse_channel_to_8bit(
-            c.lowpass, wb, prescale, dither=row_draws if dither else None))
+            c.lowpass, wb, prescale, dither=row_draws if dither else None,
+            dither_group=16 if ci == 0 else 8))
     return xf.pack_yuy2(*planes), s
 
 

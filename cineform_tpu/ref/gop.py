@@ -184,7 +184,8 @@ def forward_channel_gop(frame0: np.ndarray, frame1: np.ndarray,
 def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
                         reference_compatible: bool = True,
                         dither0=None, dither1=None,
-                        progressive: bool = True):
+                        progressive: bool = True,
+                        dither_group=None):
     """Full FIELDPLUS inverse for one channel -> (frame0, frame1).
 
     bands values must already be dequantized.
@@ -224,7 +225,8 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
         if not to8bit:
             return xf.h26_inverse(low, high, descale=1)
         if dither is not None and dither.shape[-1] == 16:
-            dither = xf.decode_dither_plane(dither, low.shape[-1] * 2)
+            dither = xf.decode_dither_plane(dither, low.shape[-1] * 2,
+                                            dither_group)
         return xf.h26_inverse_to_output(low, high, 2, dither)
 
     f0 = final(ll0, bands[0], dither0)

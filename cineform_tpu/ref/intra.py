@@ -434,19 +434,29 @@ def decode_dither_rows(height: int, frame_index: int = 0) -> np.ndarray:
     return row_draws
 
 
-def decode_dither_plane(row_draws: np.ndarray, width: int) -> np.ndarray:
+def decode_dither_plane(row_draws: np.ndarray, width: int,
+                        group: int | None = None) -> np.ndarray:
     """Expand per-row 16-bit dither vectors to a (H, width) channel plane.
 
     Output column c >= 2 takes lane (c-2)%8 of rounding1 when
     ((c-2)//8)%2 == 0 else of rounding2 (the SSE groups alternate
     rounding1/rounding2 every 8 outputs); the four border columns are
     undithered.  Y, U and V share the same row vectors.
+
+    group: the channel's SSE output group size (16 for luma, 8 for
+    chroma).  When the width leaves a half-step remainder
+    (width % (2*group) == group, e.g. luma width 112) the reference's
+    fast loop stops one group early and the final `group` columns
+    decode through the UNDITHERED scalar tail (pinned against the
+    reference decoder at 112x48/144x96).
     """
     h = row_draws.shape[0]
     d = np.zeros((h, width), dtype=np.int64)
     m = np.arange(width - 4)
     lane = m % 8 + 8 * ((m // 8) % 2)
     d[:, 2:-2] = row_draws[:, lane]
+    if group and width % (2 * group) == group:
+        d[:, width - group:] = 0
     return d
 
 
@@ -480,19 +490,20 @@ def inverse_channel_to_16s(lowpass: np.ndarray, bands, prescale) -> np.ndarray:
 
 
 def inverse_channel_to_8bit(lowpass, bands, prescale, descale_shift=2,
-                            dither=None):
+                            dither=None, dither_group=None):
     """Full inverse for one channel producing the 8-bit output plane.
 
     `dither` is either None, a precomputed (H, W) plane, or the (H, 16)
     row-draw matrix from `decode_dither_rows` (expanded per channel
-    width here).
+    width here; `dither_group` is the channel's SSE group size — 16
+    luma / 8 chroma — for the half-step undithered tail rule).
     """
     ll = inverse_channel_to_16s(lowpass, bands, prescale)
     lh, hl, hh = bands[0]
     low = v26_inverse(ll, hl)
     high = v26_inverse(lh, hh)
     if dither is not None and dither.shape[-1] == 16:
-        dither = decode_dither_plane(dither, low.shape[-1] * 2)
+        dither = decode_dither_plane(dither, low.shape[-1] * 2, dither_group)
     return h26_inverse_to_output(low, high, descale_shift, dither)
 
 

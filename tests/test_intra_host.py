@@ -79,12 +79,15 @@ def test_decode_byte_exact(name, w, h, q, p):
     out, parsed = intra_host.decode_sample(_golden(name, "cfhd"))
     assert parsed.width == w and parsed.height == h
     if w == 112:
-        # known gap: at widths that are not a multiple of 32 the reference
-        # decoder's output stage rounds one dither step differently (whole
-        # chroma plane + the last 16 luma columns); encode IS byte-exact
+        # at w%32==16 widths the luma plane is byte-exact (the fast
+        # loop's undithered scalar tail is replicated, see
+        # ref/intra.decode_dither_plane); the chroma plane still shows
+        # a diffuse +/-1 from an unpinned reference chroma path at
+        # these widths (known gap, STATUS.md)
         a = np.frombuffer(out, np.uint8).astype(int)
         b = np.frombuffer(gold_yuv, np.uint8).astype(int)
-        assert np.abs(a - b).max() <= 1
+        assert np.array_equal(a[0::2], b[0::2])      # luma byte-exact
+        assert np.abs(a[1::2] - b[1::2]).max() <= 1  # chroma within 1
         return
     assert out == gold_yuv
 
