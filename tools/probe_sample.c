@@ -771,6 +771,8 @@ static int do_decode_fmt(const char *inpath, const char *fmt, const char *outpat
     else if (!strcmp(fmt, "R408")) { pf = CFHD_PIXEL_FORMAT_R408; bpp = 4; }
     else if (!strcmp(fmt, "V408")) { pf = CFHD_PIXEL_FORMAT_V408; bpp = 4; }
     else if (!strcmp(fmt, "WP13")) { pf = CFHD_PIXEL_FORMAT_WP13; bpp = 6; }
+    else if (!strcmp(fmt, "NV12")) { pf = CFHD_PIXEL_FORMAT_NV12; bpp = 1; }
+    else if (!strcmp(fmt, "YV12")) { pf = CFHD_PIXEL_FORMAT_YV12; bpp = 1; }
     else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
 
     FILE *f = fopen(inpath, "rb");
