@@ -228,3 +228,14 @@ def test_decoder_arbitrary_size_scaling():
         oy = out[:, 0::2].astype(float)
         err = np.abs(sy - oy).mean()
         assert err < 3.0, (ow, oh, err)
+
+
+def test_decode_half_resolution_byte_exact():
+    """DECODED_RESOLUTION_HALF output matches the reference decoder byte
+    for byte (probe decoderes, res=2): stopping the wavelet inverse after
+    two levels with the >>4 output descale is exactly the reference's
+    half-res path."""
+    from cineform_tpu.models.intra_host import decode_sample_scaled
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    gold = _golden("s_320x240_q4_p1.half.yuy2")
+    assert decode_sample_scaled(sample, 2) == gold

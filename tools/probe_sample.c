@@ -489,6 +489,7 @@ static int do_encode_series(int w, int h, int quality, int nframes,
     return 0;
 }
 
+
 /* Decode one eye (cact mask 1 = left, 2 = right) of a 3D sample. */
 static int do_decode_3d(const char *inpath, const char *outpath, int cact)
 {
