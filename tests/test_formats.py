@@ -6,12 +6,18 @@ tools/probe_sample.c encode_v210 / encode_yu64.
 
 import os
 
+import pytest
+
 import numpy as np
+import pytest
 
 from cineform_tpu import api
 from cineform_tpu.utils.testframes import v210_frame, yu64_frame
+from cineform_tpu.utils import testframes as tfgen
 
 from tests.test_intra_host import _metadata_from
+
+REFBIN = "/root/repo/.refbuild/probe_sample"
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "samples")
 
@@ -263,3 +269,27 @@ def test_decode_output_bgra_shape():
     assert len(out) == 320 * 240 * 4
     out64 = decode_sample_to(sample, "b64a")
     assert len(out64) == 320 * 240 * 8
+
+
+@pytest.mark.skipif(not os.path.exists(REFBIN), reason="reference not built")
+@pytest.mark.parametrize("sub,pf,frame_fn,w,h", [
+    ("encode_rg48", api.PixelFormat.RG48, tfgen.rg48_frame, 64, 48),
+    ("encode_yu64", api.PixelFormat.YU64, tfgen.yu64_frame, 64, 48),
+    ("encode_byr4", api.PixelFormat.BYR4, tfgen.byr4_frame, 128, 96),
+    ("encode_v210", api.PixelFormat.V210, tfgen.v210_frame, 96, 48),
+])
+def test_narrow_width_formats_byte_exact(sub, pf, frame_fn, w, h):
+    """The width<=16 SSE2 row-filter quirk (ref/intra._h26_forward)
+    generalizes through every encoded-format path: RGB-444, Bayer and
+    deep-YUV samples at narrow widths are byte-exact vs the reference."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "nw.cfhd")
+        r = subprocess.run([REFBIN, sub, str(w), str(h), "4", "1", path],
+                           capture_output=True)
+        assert r.returncode == 0, r.stderr
+        gold = open(path, "rb").read()
+    mine = _encode(pf, frame_fn(w, h, 1), w, h, _metadata_from(gold))
+    assert mine == gold
