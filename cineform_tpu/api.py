@@ -117,7 +117,7 @@ class DecodedResolution(enum.IntEnum):
 class EncodingFlags(enum.IntFlag):
     NONE = 0
     YUV_INTERLACED = 1 << 0      # CFHD_ENCODING_FLAGS_YUV_INTERLACED
-    YUV_2FRAME_GOP = 1 << 4      # CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP
+    YUV_2FRAME_GOP = 1 << 1      # CFHD_ENCODING_FLAGS_YUV_2FRAME_GOP (`Common/CFHDTypes.h:254`)
 
 
 class DecodingFlags(enum.IntFlag):
@@ -431,7 +431,16 @@ class Decoder:
     # CFHD_SetActiveMetadata(TAG_CHANNELS_ACTIVE) analog
     def set_channels_active(self, mask: int) -> None:
         """Select the video channel(s) of stereo 3D samples: 1 = left,
-        2 = right (`Codec/decoder.c:10310-10340` channel_mask)."""
+        2 = right (`Codec/decoder.c:10310-10340` channel_mask).
+
+        Mask 3 (both eyes) requires a stereo output mode; single-image
+        decode supports one eye at a time, so masks other than 1/2 are
+        rejected rather than silently decoding mono."""
+        if int(mask) not in (1, 2):
+            raise CFHDError(
+                ErrorCode.INVALID_ARGUMENT,
+                f"channel mask {mask}: single-eye decode supports 1 "
+                "(left) or 2 (right); use decode_3d for both eyes")
         self._channels_active = int(mask)
 
     # CFHD_DecodeSample
@@ -483,12 +492,18 @@ class Decoder:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
             elif info0 is not None and (self.width, self.height) != \
-                    (info0.width, info0.height) \
-                    and self.output_format in (PixelFormat.YUY2,
-                                               PixelFormat.UYVY):
+                    (info0.width, info0.height):
                 # decoded size != requested size: scale with the Lanczos
                 # scaler like the reference's ConvertLib path
                 # (`DecoderSDK/SampleDecoder.cpp:1593-1597`)
+                if self.output_format not in (PixelFormat.YUY2,
+                                              PixelFormat.UYVY):
+                    raise CFHDError(
+                        ErrorCode.BADFORMAT,
+                        f"decode to {self.width}x{self.height} (coded "
+                        f"{info0.width}x{info0.height}) is only supported "
+                        f"for YUY2/UYVY output, not "
+                        f"{self.output_format!r}")
                 out = self._decode_to_size(sample, self.width, self.height)
             elif self.output_format == PixelFormat.YUY2:
                 out, _ = intra_host.decode_sample(sample)

@@ -95,7 +95,10 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
                 # band's peak table, in raster order
                 mask = np.abs(vals) > b.peak_level
                 flat = vals[mask]
-                flat[:] = b.peaks[:flat.size]
+                # bound by the peak table length: a truncated/corrupt sample
+                # may decode more over-peak values than the table holds
+                nsub = min(flat.size, b.peaks.size)
+                flat[:nsub] = b.peaks[:nsub]
                 vals = vals.copy()
                 vals[mask] = flat
             bands[widx][slot] = vals

@@ -378,7 +378,7 @@ def uncompressed_decision(frame_head_u32: int, metadata_block: bytes,
     seed = frame_head_u32 & 0xFFFFFFFF
     if metadata_block:
         seed = (seed + zlib.crc32(metadata_block)) & 0xFFFFFFFF
-    draw = int(glibc_rand_sequence(1, seed if seed else 0)[0])
+    draw = int(glibc_rand_sequence(1, seed)[0])
     if (draw & 15) < target:
         last16[-1] = 1
         return True

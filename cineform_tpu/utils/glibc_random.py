@@ -20,6 +20,8 @@ def glibc_rand_sequence(n: int, seed: int = 1) -> np.ndarray:
     # >= 2^31, which appear e.g. in the uncompressed-frame decision,
     # `Codec/encoder.c:2006` srand(first frame word))
     word = seed & 0xFFFFFFFF
+    if word == 0:
+        word = 1  # glibc __srandom_r: "seed == 0 would produce all zeros"
     if word >= 1 << 31:
         word -= 1 << 32
     r[0] = np.uint64(word & 0xFFFFFFFF)
