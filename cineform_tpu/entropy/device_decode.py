@@ -1,0 +1,437 @@
+"""TPU (XLA) CFHD band entropy DECODER: sample payload bytes -> dense
+quantized coefficient bands, wholly on device.
+
+This is the device-side re-expression of the reference's FSM band decoder
+(`Codec/decoder.c:19532` DecodeBandFSM16sNoGap) + its entropy worker pool
+(`Codec/entropy_threading.c:139`), with companding expansion
+(`Codec/codebooks.c:1345` ScaleFSM) and the int16-wrapping dequantizer
+(`Codec/entropy_threading.c:191` DeQuantFSM) folded in.  The reference
+walks each band's bitstream serially through a 4-bits-per-step FSM; that
+serial walk is re-built here as six data-parallel stages, all shifts /
+selects / tiny reductions that XLA fuses into vector code (no gathers, no
+scatters — both pathologically slow on TPU):
+
+1. **Per-bit classification** (`classify`): the cs17/cs18 RLV codebook is a
+   COMPLETE prefix code, so the sorted left-aligned codewords tile the
+   26-bit window space into 264 contiguous intervals.  For every bit
+   position of the payload we extract a 27-bit window and resolve
+   (code length, run count, magnitude, band-end, sign) by a telescoping
+   sum of interval-threshold indicators — one fused elementwise reduction,
+   no table lookups.
+
+2. **Chunk transfer functions** (`chunk_transfers`): the payload is cut
+   into 32-bit chunks.  Codewords are at most 26 bits + sign, so a chunk
+   can be entered at one of 27 bit phases.  A bit-serial wavefront walks
+   the 32 positions once, carrying a packed uint32 mask per position of
+   WHICH entry phases visit it; pure bitwise ops give, per chunk, the full
+   entry-phase -> exit-phase function (as 27 packed masks), the phases
+   that hit band-end, and the coefficient count consumed per entry phase.
+
+3. **Transfer-function scan** (`scan_entries`): chunk transfers compose
+   associatively (masks are disjoint across exits, so boolean matrix
+   product = integer sum), so a segmented `lax.associative_scan` yields
+   every chunk's TRUE entry phase and starting coefficient position.
+   Segment resets isolate concatenated bands.
+
+4. **Final walk** (`final_walk`): one more wavefront pass from each
+   chunk's true phase marks the actual codeword start positions.
+
+5. **Emission + in-chunk compaction** (`emit_slots`): each marked
+   position emits (target coefficient index, dequantized value); nonzero
+   codewords are >= 3 bits so a chunk has at most ceil(32/3) = 11 of
+   them, and a 32->12 lane one-hot reduction packs them.
+
+6. **Global placement** (`compact_slots` + `spread_slots`): slots are
+   compacted across chunks by the low-bit-first monotone-displacement
+   network (displacement constant per chunk, tail slots graded so steps
+   stay in {0,1}; colliding slots share a target and OR/max-merge exactly
+   — the same machinery as the encoder's `_concat_chunks`), then spread
+   to their final positions by the mirrored high-bit-first network, whose
+   strictly increasing targets make it provably collision-free.
+
+Legacy codeset cs9 is an INCOMPLETE prefix code (3 gap codewords) and is
+decoded on the host (`entropy/host.py`, `native/entropy.cpp`); cs17 and
+cs18 share one codebook and differ only in companding, selected here by a
+per-chunk flag.  Malformed or over-capacity streams set per-chunk
+overflow flags and fall back to the host coder.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cineform_tpu.spec import codebooks as cb
+
+NPHASE = 27      # max codeword incl. sign = 26 bits -> entry phase in [0,27)
+DONE = 27        # absorbing "band ended" phase
+NSLOT = 12       # nonzero codewords are >=3 bits -> <=11 per 32-bit chunk
+M27 = (1 << 27) - 1
+
+
+# ---------------------------------------------------------------------------
+# Static tables
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def interval_tables(codeset: int = 17) -> tuple[tuple[int, ...],
+                                                tuple[int, ...]]:
+    """(bounds, packed-leaf deltas) over the sorted 26-bit interval tiling.
+
+    packed leaf = len | count << 5 | mag << 14 | isend << 22.  The RLV
+    codebook must be complete (cs17/cs18 are; cs9 is not and raises).
+    """
+    cs = cb.get_codeset(codeset)
+    rows = [(int(b) << (26 - int(s)), int(s), int(c), int(v), 0)
+            for s, b, c, v in cs.rlv.tolist()]
+    rows.append((cs.bandend_bits << (26 - cs.bandend_size),
+                 cs.bandend_size, 0, 0, 1))
+    rows.sort()
+    # completeness check: intervals tile [0, 2^26)
+    prev = 0
+    for lo, s, c, v, e in rows:
+        if lo != prev:
+            raise ValueError(f"cs{codeset} prefix code is incomplete")
+        prev = lo + (1 << (26 - s))
+    if prev != 1 << 26:
+        raise ValueError(f"cs{codeset} prefix code is incomplete")
+    packed = [s | (c << 5) | (v << 14) | (e << 22) for _, s, c, v, e in rows]
+    bounds = tuple(r[0] for r in rows)
+    dleaf = tuple(p - q for p, q in zip(packed, [0] + packed[:-1]))
+    return bounds, dleaf
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: per-bit-position classification
+# ---------------------------------------------------------------------------
+
+def classify(payload: jnp.ndarray, codeset: int = 17) -> jnp.ndarray:
+    """(NB,) uint8 payload -> (NB*8,) int32 packed per-bit-position code:
+    len | count << 5 | mag << 14 | isend << 22 | sign << 23."""
+    bounds, dleaf = interval_tables(codeset)
+    b = jnp.concatenate([payload, jnp.zeros(8, jnp.uint8)]).astype(jnp.uint32)
+    nb = payload.shape[0]
+    b0, b1, b2, b3, b4 = (b[i:nb + i] for i in range(5))
+    hi = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+    lo = b4
+    wins = []
+    for r in range(8):
+        s = 13 - r
+        if s >= 8:
+            wins.append((hi >> (s - 8)) & M27)
+        else:
+            wins.append(((hi << (8 - s)) | (lo >> s)) & M27)
+    win27 = jnp.stack(wins, axis=-1).reshape(-1)         # (NB*8,)
+    win26 = (win27 >> 1).astype(jnp.int32)
+    # telescoping interval classifier: packed = sum of threshold deltas
+    packed = jnp.full(win26.shape, dleaf[0], jnp.int32)  # bounds[0] == 0
+    for j in range(1, len(bounds)):
+        packed = packed + jnp.where(win26 >= bounds[j],
+                                    jnp.int32(dleaf[j]), 0)
+    length = packed & 31
+    sign = ((win27 >> (jnp.uint32(26) - length.astype(jnp.uint32))) & 1)
+    return packed | (sign.astype(jnp.int32) << 23)
+
+
+def _unpack(packed: jnp.ndarray):
+    length = packed & 31
+    count = (packed >> 5) & 511
+    mag = (packed >> 14) & 255
+    isend = (packed >> 22) & 1
+    sign = (packed >> 23) & 1
+    adv = length + (mag > 0)
+    return length, count, mag, isend, sign, adv
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: per-chunk transfer functions via the bit-serial wavefront
+# ---------------------------------------------------------------------------
+
+_IOTA32 = tuple(range(32))
+
+
+def _wavefront(packed2d: jnp.ndarray, pend0: jnp.ndarray) -> jnp.ndarray:
+    """Walk all 32 positions of every chunk once; pend0 (T,32) uint32 seeds
+    the phase masks.  Returns WM (T,32): the mask of phases visiting each
+    position."""
+    _, _, mag, isend, _, adv = _unpack(packed2d)
+    pend = pend0
+    iota = jnp.arange(32, dtype=jnp.int32)[None, :]
+    cols = []
+    for i in range(32):
+        w = pend[:, i]
+        cols.append(w)
+        wl = jnp.where(isend[:, i] == 1, jnp.uint32(0), w)
+        if i < 31:
+            j = i + adv[:, i]                       # (T,)
+            pend = pend | jnp.where(iota == j[:, None],
+                                    wl[:, None], jnp.uint32(0))
+    return jnp.stack(cols, axis=1)                  # (T, 32)
+
+
+def chunk_transfers(packed2d: jnp.ndarray):
+    """(T,32) packed -> (EXITS (T,27) u32, ENDM (T,) u32, CNT (T,27) i32)."""
+    t = packed2d.shape[0]
+    _, count, mag, isend, _, adv = _unpack(packed2d)
+    pend0 = jnp.broadcast_to(
+        jnp.array([np.uint32(1 << i) if i < NPHASE else np.uint32(0)
+                   for i in range(32)], jnp.uint32)[None, :], (t, 32))
+    wm = _wavefront(packed2d, pend0)
+    wl = jnp.where(isend == 1, jnp.uint32(0), wm)
+    jall = jnp.arange(32, dtype=jnp.int32)[None, :] + adv       # (T,32)
+    # per-phase exits are unique -> masks disjoint -> OR == SUM
+    exits = jnp.stack(
+        [jnp.where(jall == 32 + d, wl, jnp.uint32(0)).sum(axis=1)
+         for d in range(NPHASE)], axis=1)
+    endm = jnp.where(isend == 1, wm, jnp.uint32(0)).sum(axis=1)
+    cnt = jnp.stack(
+        [(((wl >> p) & 1).astype(jnp.int32) * count).sum(axis=1)
+         for p in range(NPHASE)], axis=1)
+    return exits, endm, cnt
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: segmented associative scan over transfer functions
+# ---------------------------------------------------------------------------
+
+def _combine(a, b):
+    """Compose transfers: a then b.  Exit masks of distinct entries are
+    disjoint, so boolean OR-matrix products reduce to integer sums."""
+    ea, ma, ca, ra = a
+    eb, mb, cbb, rb = b
+    q = jnp.arange(NPHASE, dtype=jnp.uint32)
+    # ec[..., r] = sum_q bit_q(eb[..., r]) * ea[..., q]
+    ebits = (eb[..., :, None] >> q) & 1                  # (..., r, q)
+    ec = (ebits * ea[..., None, :]).sum(-1)
+    mbits = (mb[..., None] >> q) & 1                     # (..., q)
+    mc = ma + (mbits * ea).sum(-1)
+    # cc[..., p] = ca[..., p] + sum_q bit_p(ea[..., q]) * cb[..., q]
+    abits = ((ea[..., :, None] >> q) & 1).astype(jnp.int32)  # (..., q, p)
+    cc = ca + (abits * cbb[..., :, None]).sum(-2)
+    rst = rb[..., None]
+    return (jnp.where(rst, eb, ec), jnp.where(rb, mb, mc),
+            jnp.where(rst, cbb, cc), ra | rb)
+
+
+def scan_entries(exits, endm, cnt, reset):
+    """Prefix states -> (entry phase (T,) i32, coeff base (T,) i32)."""
+    t = exits.shape[0]
+    ident_e = jnp.array([np.uint32(1 << i) for i in range(NPHASE)],
+                        jnp.uint32)
+    # shift right by one chunk: prefix_k composes f_0..f_{k-1}; a reset
+    # chunk's prefix is the identity
+    h_e = jnp.concatenate([ident_e[None], exits[:-1]])
+    h_m = jnp.concatenate([jnp.zeros(1, jnp.uint32), endm[:-1]])
+    h_c = jnp.concatenate([jnp.zeros((1, NPHASE), jnp.int32), cnt[:-1]])
+    h_e = jnp.where(reset[:, None], ident_e[None], h_e)
+    h_m = jnp.where(reset, 0, h_m)
+    h_c = jnp.where(reset[:, None], 0, h_c)
+    pe, pm, pc, _ = jax.lax.associative_scan(
+        _combine, (h_e, h_m, h_c, reset))
+    done = (pm & 1) == 1
+    r = jnp.arange(NPHASE, dtype=jnp.int32)
+    entry = (r[None, :] * ((pe & 1) == 1)).sum(axis=1).astype(jnp.int32)
+    entry = jnp.where(done, DONE, entry)
+    return entry, pc[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: final walk from the true entry phases
+# ---------------------------------------------------------------------------
+
+def final_walk(packed2d: jnp.ndarray, entry: jnp.ndarray) -> jnp.ndarray:
+    """(T,32) packed + (T,) entry phases -> ACT (T,32) uint32 0/1 marks of
+    true codeword start positions (band-end positions excluded)."""
+    iota = jnp.arange(32, dtype=jnp.int32)[None, :]
+    pend0 = jnp.where(iota == entry[:, None], jnp.uint32(1), jnp.uint32(0))
+    wm = _wavefront(packed2d, pend0)
+    isend = (packed2d >> 22) & 1
+    return jnp.where(isend == 1, jnp.uint32(0), wm)
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: emission + in-chunk compaction
+# ---------------------------------------------------------------------------
+
+def _excl_cumsum32(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumulative sum along a 32-wide last axis (log tree)."""
+    y = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(1, 0)])[..., :-1]
+    for sh in (1, 2, 4, 8, 16):
+        y = y + jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(sh, 0)])[..., :-sh]
+    return y
+
+
+def emit_slots(packed2d, act, base, region_base, region_end, quant, linear):
+    """Per-chunk emissions -> front-packed (T, NSLOT) slot arrays.
+
+    region_base/region_end/quant/linear: (T,) per-chunk band attributes
+    (global output offsets, int16-wrap dequant factor, cs18 flag).
+    Returns (tgt (T,NSLOT) i32, val (T,NSLOT) u32 low-16 dq bits,
+    nval (T,) i32, ovf (T,) bool)."""
+    _, count, mag, isend, sign, _ = _unpack(packed2d)
+    a = act.astype(jnp.int32)
+    csel = count * a
+    tgt = region_base[:, None] + base[:, None] + _excl_cumsum32(csel)
+    expand = jnp.where(linear[:, None] == 1, mag,
+                       mag + ((mag * mag * mag * 3) >> 16))
+    v = jnp.where(sign == 1, -expand, expand)
+    dq = ((v * quant[:, None]) << 16) >> 16            # DeQuantFSM int16 wrap
+    emitting = (a == 1) & (mag > 0)
+    ovf = (emitting & (tgt >= region_end[:, None])).any(axis=1)
+    valid = emitting & (tgt < region_end[:, None])
+    rank = _excl_cumsum32(valid.astype(jnp.int32))
+    ctgt = jnp.stack(
+        [jnp.where(valid & (rank == r), tgt, 0).sum(axis=1)
+         for r in range(NSLOT)], axis=1)
+    cval = jnp.stack(
+        [jnp.where(valid & (rank == r),
+                   dq.astype(jnp.uint32) & 0xFFFF, 0).sum(axis=1)
+         for r in range(NSLOT)], axis=1)
+    nval = valid.astype(jnp.int32).sum(axis=1)
+    return ctgt, cval, nval, ovf
+
+
+# ---------------------------------------------------------------------------
+# Stage 6a: global slot compaction (low-bit-first, {0,1}-step, OR-merge)
+# ---------------------------------------------------------------------------
+
+def _shift_last(x, offset):
+    n = x.shape[-1]
+    if offset == 0 or abs(offset) >= n:
+        return jnp.zeros_like(x) if abs(offset) >= n else x
+    pad = [(0, 0)] * (x.ndim - 1)
+    if offset > 0:
+        return jnp.pad(x[..., offset:], pad + [(0, offset)])
+    return jnp.pad(x[..., :offset], pad + [(-offset, 0)])
+
+
+def compact_slots(ctgt, cval, nval):
+    """Front-pack all valid slots across chunks.  Displacement is constant
+    per chunk (12k - R_k) and tail lanes are graded +1 toward the next
+    chunk's displacement, so steps stay in {0,1} and the low-bit-first
+    doubling network merges collisions exactly (same argument as the
+    encoder's `_concat_chunks`).  Returns (tgt (S,) i32, val (S,) u32)
+    with the V valid slots leading."""
+    t = ctgt.shape[0]
+    csum = jnp.cumsum(nval)
+    r_k = csum - nval                                   # exclusive prefix
+    d_c = jnp.arange(t, dtype=jnp.int32) * NSLOT - r_k
+    d_next = jnp.concatenate([d_c[1:], (t * NSLOT - csum[-1])[None]])
+    lane = jnp.arange(NSLOT, dtype=jnp.int32)[None, :]
+    rem = jnp.where(lane < nval[:, None], d_c[:, None],
+                    jnp.minimum(d_c[:, None] + lane - nval[:, None] + 1,
+                                d_next[:, None]))
+    valid = lane < nval[:, None]
+    val = jnp.where(valid, cval, 0).reshape(-1)
+    tgt = jnp.where(valid, ctgt, 0).reshape(-1)
+    rem = rem.reshape(-1)
+    n = t * NSLOT
+    maxrem = rem.max()
+    k = 0
+    while (1 << k) <= n:
+        s = 1 << k
+        rem, val, tgt = jax.lax.cond(
+            maxrem >= s,
+            lambda a: _compact_level(a, s, k),
+            lambda a: a, (rem, val, tgt))
+        k += 1
+    return tgt, val
+
+
+def _compact_level(args, s, k):
+    rem, val, tgt = args
+    bit = (rem >> k) & 1
+    mv, mr, mt = (_shift_last(x, s) for x in (val, rem, tgt))
+    mbit = (mr >> k) & 1
+    val = jnp.where(bit == 0, val, 0) | jnp.where(mbit == 1, mv, 0)
+    tgt = jnp.maximum(jnp.where(bit == 0, tgt, 0),
+                      jnp.where(mbit == 1, mt, 0))
+    rem = jnp.maximum(jnp.where(bit == 0, rem, 0),
+                      jnp.where(mbit == 1, mr - s, 0))
+    return rem, val, tgt
+
+
+# ---------------------------------------------------------------------------
+# Stage 6b: spread to final positions (high-bit-first, collision-free)
+# ---------------------------------------------------------------------------
+
+def spread_slots(tgt, val, nout: int):
+    """Compacted slots -> dense (nout,) int32 coefficient buffer.
+
+    Valid slots (val != 0) have strictly increasing targets with
+    target >= slot index, so displacements are nonnegative and
+    nondecreasing; invalid slots take backfilled displacements (suffix-min)
+    that preserve both properties.  High-bit-first doubling then never
+    collides (strictly ordered positions at every stage)."""
+    s = tgt.shape[0]
+    arr = s + nout + 8
+    sidx = jnp.arange(s, dtype=jnp.int32)
+    valid = val != 0
+    big = jnp.int32(arr)
+    d = jnp.where(valid, tgt - sidx, big)
+    suffmin = jax.lax.associative_scan(jnp.minimum, d, reverse=True)
+    rem = jnp.minimum(suffmin, jnp.int32(nout + 8))     # tail clamp
+    varr = jnp.concatenate([val, jnp.zeros(arr - s, jnp.uint32)])
+    darr = jnp.concatenate([rem, jnp.zeros(arr - s, jnp.int32)])
+    maxd = darr[:s].max()
+    nbits = int(arr).bit_length()
+    for k in range(nbits - 1, -1, -1):
+        step = 1 << k
+        darr, varr = jax.lax.cond(
+            maxd >= step,
+            lambda a: _spread_level(a, step, k),
+            lambda a: a, (darr, varr))
+    out = varr[:nout].astype(jnp.int32)
+    return (out << 16) >> 16                            # reinterpret int16
+
+
+def _spread_level(args, step, k):
+    darr, varr = args
+    bit = (darr >> k) & 1
+    mv = _shift_last(varr, -step)
+    md = _shift_last(darr, -step)
+    mbit = (md >> k) & 1
+    varr = jnp.where(bit == 1, 0, varr) | jnp.where(mbit == 1, mv, 0)
+    darr = jnp.maximum(jnp.where(bit == 1, 0, darr),
+                       jnp.where(mbit == 1, md - step, 0))
+    return darr, varr
+
+
+# ---------------------------------------------------------------------------
+# Whole-payload decode
+# ---------------------------------------------------------------------------
+
+def decode_payload(payload: jnp.ndarray,
+                   reset: jnp.ndarray,
+                   region_base: jnp.ndarray,
+                   region_end: jnp.ndarray,
+                   quant: jnp.ndarray,
+                   linear: jnp.ndarray,
+                   inband: jnp.ndarray,
+                   nout: int):
+    """Decode a buffer of concatenated 32-bit-aligned band payloads.
+
+    payload: (NB,) uint8, NB % 4 == 0.  Per-32-bit-chunk metadata arrays
+    (T = NB*8/32,): reset (bool, band starts), region_base/region_end
+    (i32 global output offsets), quant (i32), linear (i32 cs18 flag),
+    inband (i32 0/1; 0 masks padding chunks).
+    Returns (coeffs (nout,) i32 dense dequantized output, ovf (T,) bool
+    per-chunk overflow flags — any set flag means host fallback for the
+    band owning that chunk).
+    """
+    packed = classify(payload).reshape(-1, 32)
+    exits, endm, cnt = chunk_transfers(packed)
+    entry, base = scan_entries(exits, endm, cnt, reset)
+    act = final_walk(packed, entry)
+    act = act * inband[:, None].astype(jnp.uint32)
+    ctgt, cval, nval, ovf = emit_slots(packed, act, base, region_base,
+                                       region_end, quant, linear)
+    tgt, val = compact_slots(ctgt, cval, nval)
+    coeffs = spread_slots(tgt, val, nout)
+    return coeffs, ovf
+
+
+decode_payload_jit = jax.jit(decode_payload, static_argnames=("nout",))
