@@ -279,6 +279,187 @@ class IntraCodec:
                 input_format=self.input_format_code))
         return samples
 
+    # --- fully device-side decode: entropy + inverse transform --------------
+
+    @partial(jax.jit, static_argnums=(0, 9, 10, 11))
+    def _decode_device_program(self, payload, reset, region_base, region_end,
+                               quant, linear, inband, lowpass,
+                               nout: int, batch: int, frame_index: int):
+        """Payload bytes + per-chunk metadata -> (B, H, 2W) uint8 YUY2.
+
+        The whole of DecodeSample's hot path on device: band entropy
+        decode (entropy/device_decode, the TPU DecodeBandFSM16sNoGap)
+        feeding the batched inverse DWT fused with 8-bit output
+        (`Codec/decoder.c:11584` DecodeSampleIntraFrame +
+        `ReconstructSampleFrameToBuffer`)."""
+        from cineform_tpu.entropy import device_decode as ddec
+
+        coeffs_flat, ovf = ddec.decode_payload(
+            payload, reset, region_base, region_end, quant, linear,
+            inband, nout=nout)
+        coeffs = []
+        for ch in range(3):
+            plane_w = self.width if ch == 0 else self.width // 2
+            bands = []
+            for k in range(3):
+                trio = []
+                for band in (1, 2, 3):
+                    off, h, pitch, w = self._band_region(ch, k, band, batch)
+                    region = coeffs_flat[off:off + batch * h * pitch]
+                    trio.append(region.reshape(batch, h, pitch)[:, :, :w])
+                bands.append(tuple(trio))
+            coeffs.append((jnp.asarray(lowpass[ch]), bands))
+        return self.inverse(coeffs, frame_index), ovf
+
+    @lru_cache(maxsize=8)
+    def _band_plan(self, batch: int):
+        """Static output-region layout: (ch, widx, band) -> (offset, h,
+        pitchw, w); regions ordered so targets increase with payload
+        order (band-group major, frame minor)."""
+        regions = {}
+        off = 0
+        for ch in range(3):
+            plane_w = self.width if ch == 0 else self.width // 2
+            for k in range(3):
+                # widx k holds subbands (7,8,9) - 3k: wavelet level k+1,
+                # band dims = plane dims >> (k + 1)
+                bh = self.height >> (k + 1)
+                bw = plane_w >> (k + 1)
+                pitch = intra_host.align16_pixels(bw)
+                for band in (1, 2, 3):
+                    regions[(ch, k, band)] = (off, bh, pitch, bw)
+                    off += batch * bh * pitch
+        return regions, off
+
+    def _band_region(self, ch: int, k: int, band: int, batch: int):
+        regions, _ = self._band_plan(batch)
+        return regions[(ch, k, band)]
+
+    #: floor for the payload capacity bucket (chunks of 32 bits); buckets
+    #: double from here so each config compiles a handful of programs
+    MIN_CAP_CHUNKS = 32768
+
+    def decode_batch_device(self, samples: list[bytes],
+                            frame_index: int = 0,
+                            min_cap_chunks: int | None = None) -> np.ndarray:
+        """Decode CFHD samples to YUY2 wholly on device: the host only
+        walks sample headers and slices payloads; entropy decode, inverse
+        DWT, dither and output packing all run in one traced program.
+        Byte-identical to decode_batch; frames whose streams use legacy
+        codesets, peaks tables or overflow the payload capacity fall back
+        to the host path per frame."""
+        from cineform_tpu.bitstream import parse_sample
+
+        batch = len(samples)
+        regions, nout = self._band_plan(batch)
+        payload_parts = {}
+        lowpass = [[None] * batch for _ in range(3)]
+        fallback = set()
+        for i, sample in enumerate(samples):
+            s = parse_sample(sample)
+            if (s.width, s.height) != (self.width, self.height) or \
+                    len(s.channels) != 3:
+                fallback.add(i)
+                continue
+            for ch, c in enumerate(s.channels):
+                lowpass[ch][i] = c.lowpass
+                for b in c.bands:
+                    widx = 2 - (b.subband - 1) // 3
+                    if b.peaks is not None or len(b.data) % 4:
+                        fallback.add(i)
+                        continue
+                    payload_parts[(ch, widx, b.band, i)] = (
+                        b.data, b.quantization,
+                        1 if b.coding_flags == 18 else 0)
+        for i in range(batch):
+            if i in fallback:
+                continue
+            for ch in range(3):
+                for k in range(3):
+                    for band in (1, 2, 3):
+                        if (ch, k, band, i) not in payload_parts:
+                            fallback.add(i)
+        live = [i for i in range(batch) if i not in fallback]
+        if not live:
+            return self.decode_batch(samples, frame_index)
+
+        # build the concatenated payload + per-chunk metadata, ordered to
+        # match the region layout (band-group major, frame minor)
+        parts = []
+        meta_rows = []     # (nchunks, reset, base, end, quant, linear)
+        for ch in range(3):
+            for k in range(3):
+                for band in (1, 2, 3):
+                    off, bh, pitch, bw = regions[(ch, k, band)]
+                    for i in live:
+                        data, q, lin = payload_parts[(ch, k, band, i)]
+                        nch = len(data) // 4
+                        base = off + i * bh * pitch
+                        parts.append(data)
+                        meta_rows.append((nch, base, base + bh * pitch,
+                                          q, lin))
+        payload = b"".join(parts)
+        used_chunks = len(payload) // 4
+        cap = min_cap_chunks or self.MIN_CAP_CHUNKS
+        while cap < used_chunks + 1:
+            cap *= 2
+        payload = payload + b"\0" * (4 * (cap - used_chunks))
+        reset = np.zeros(cap, bool)
+        region_base = np.zeros(cap, np.int32)
+        region_end = np.zeros(cap, np.int32)
+        quant = np.ones(cap, np.int32)
+        linear = np.zeros(cap, np.int32)
+        inband = np.zeros(cap, np.int32)
+        pos = 0
+        for nch, base, end, q, lin in meta_rows:
+            reset[pos] = True
+            region_base[pos:pos + nch] = base
+            region_end[pos:pos + nch] = end
+            quant[pos:pos + nch] = q
+            linear[pos:pos + nch] = lin
+            inband[pos:pos + nch] = 1
+            pos += nch
+        reset[pos:] = True
+
+        # frames not decoded on device still need placeholder lowpass
+        lp = []
+        lh, lw = self.height >> 3, (self.width >> 3)
+        for ch in range(3):
+            w = lw if ch == 0 else lw // 2
+            arr = np.zeros((batch, lh, w), np.int32)
+            for i in live:
+                if lowpass[ch][i] is not None:
+                    arr[i] = lowpass[ch][i]
+            lp.append(jnp.asarray(arr))
+
+        out, ovf = self._decode_device_program(
+            jnp.asarray(np.frombuffer(payload, np.uint8)),
+            jnp.asarray(reset), jnp.asarray(region_base),
+            jnp.asarray(region_end), jnp.asarray(quant),
+            jnp.asarray(linear), jnp.asarray(inband), lp,
+            nout, batch, frame_index)
+        out = np.asarray(jax.device_get(out))
+        ovf = np.asarray(ovf)
+        if ovf.any():
+            # map overflowing chunks back to frames -> host fallback
+            pos = 0
+            idx = 0
+            for ch in range(3):
+                for k in range(3):
+                    for band in (1, 2, 3):
+                        for i in live:
+                            nch = meta_rows[idx][0]
+                            if ovf[pos:pos + nch].any():
+                                fallback.add(i)
+                            pos += nch
+                            idx += 1
+        if fallback:
+            host = self.decode_batch([samples[i] for i in sorted(fallback)],
+                                     frame_index)
+            for j, i in enumerate(sorted(fallback)):
+                out[i] = host[j]
+        return out
+
     def decode_batch(self, samples: list[bytes],
                      frame_index: int = 0) -> np.ndarray:
         """Decode CFHD samples to (B, H, 2W) uint8 YUY2 frames.
