@@ -18,6 +18,7 @@ status ints (`Common/CFHDError.h:25-82`).
 from __future__ import annotations
 
 import enum
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -138,6 +139,36 @@ class SampleInfo:
 
 
 # ---------------------------------------------------------------------------
+# Device (TPU) routing for the synchronous API
+# ---------------------------------------------------------------------------
+
+def _use_device() -> bool:
+    """True when the sync API should run its hot path on the accelerator.
+
+    CINEFORM_API_DEVICE=1 forces it on (e.g. tests on the CPU backend),
+    =0 forces host-only; default: any non-CPU JAX backend."""
+    import os
+    mode = os.environ.get("CINEFORM_API_DEVICE", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    try:
+        import jax
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def _device_codec(width: int, height: int, quality: int, fmt: str):
+    from cineform_tpu.models.intra import IntraCodec
+
+    return IntraCodec(width=width, height=height, quality=quality,
+                      input_format=fmt)
+
+
+# ---------------------------------------------------------------------------
 # Encoder (CFHD_OpenEncoder .. CFHD_CloseEncoder)
 # ---------------------------------------------------------------------------
 
@@ -219,6 +250,26 @@ class Encoder:
     # CFHD_MetadataAttach
     def attach_metadata(self, metadata) -> None:
         self._metadata = metadata
+
+    def _encode_device(self, buf: np.ndarray) -> bytes | None:
+        """Route the sync encode through the device codec (the TPU
+        re-expression of the reference's single hot path,
+        `EncoderSDK/SampleEncoder.cpp:480` -> `Codec/encoder.c:1897`).
+        Byte-identical to the host path; returns None when the config is
+        host-only or the device is unavailable (CPU fallback)."""
+        if not _use_device():
+            return None
+        try:
+            from cineform_tpu.models.intra import IntraCodec
+            codec = _device_codec(self.width, self.height,
+                                  int(self.quality), "YUY2")
+            samples = codec.encode_batch_device(
+                buf.reshape(1, self.height, 2 * self.width),
+                frame_numbers=[self._frame_number],
+                metadata=[self._metadata] if self._metadata else None)
+            return samples[0]
+        except Exception:
+            return None
 
     # CFHD_EncodeSample
     def encode_sample(self, frame: bytes | np.ndarray, pitch: int | None = None) -> None:
@@ -303,9 +354,12 @@ class Encoder:
                     progressive=not (self.encoding_flags
                                      & EncodingFlags.YUV_INTERLACED))
         elif self.pixel_format == PixelFormat.YUY2:
-            self._sample = intra_host.encode_sample(
-                buf.tobytes(), self.width, self.height, int(self.quality),
-                frame_number=self._frame_number, metadata=frame_meta)
+            sample = self._encode_device(buf)
+            self._sample = sample if sample is not None else \
+                intra_host.encode_sample(
+                    buf.tobytes(), self.width, self.height,
+                    int(self.quality), frame_number=self._frame_number,
+                    metadata=frame_meta)
         else:
             quality = int(self.quality)
             quality_tag = None
@@ -505,6 +559,10 @@ class Decoder:
                         f"for YUY2/UYVY output, not "
                         f"{self.output_format!r}")
                 out = self._decode_to_size(sample, self.width, self.height)
+            elif self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY) \
+                    and (dev_out := self._decode_device(sample, info0)) \
+                    is not None:
+                out = dev_out
             elif self.output_format == PixelFormat.YUY2:
                 out, _ = intra_host.decode_sample(sample)
             else:
@@ -539,6 +597,30 @@ class Decoder:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+
+    def _decode_device(self, sample: bytes, info) -> bytes | None:
+        """Route the sync full-res decode through the device codec: band
+        entropy decode + inverse DWT + dither + packing in one traced
+        program (the TPU re-expression of
+        `DecoderSDK/SampleDecoder.cpp:1384` -> `Codec/decoder.c:10078`).
+        Byte-identical to the host path; None -> host fallback."""
+        if not _use_device() or info is None:
+            return None
+        try:
+            from cineform_tpu.spec import tags
+            if info.sample_type != tags.SAMPLE_TYPE_IFRAME or \
+                    not (1 <= info.quality <= 6):
+                return None
+            codec = _device_codec(info.width, info.height,
+                                  int(info.quality), "YUY2")
+            out = codec.decode_batch_device([sample])[0]
+            raw = out.tobytes()
+            if self.output_format == PixelFormat.UYVY:
+                a = np.frombuffer(raw, np.uint8).reshape(-1, 4)
+                raw = np.ascontiguousarray(a[:, [1, 0, 3, 2]]).tobytes()
+            return raw
+        except Exception:
+            return None
 
     def _decode_to_size(self, sample: bytes, out_w: int,
                         out_h: int) -> bytes:
