@@ -251,6 +251,24 @@ class Encoder:
     def attach_metadata(self, metadata) -> None:
         self._metadata = metadata
 
+    def _encoder_overrides(self) -> dict:
+        """Collect encoder setting overrides in the reference's priority
+        order: attached metadata, then defaults.colr, then override.colr
+        (`Codec/encoder.c:2070-2078`, `encoder.c:8792`)."""
+        from cineform_tpu.utils import override_db
+
+        local = b""
+        if self._metadata is not None and hasattr(self._metadata, "block"):
+            try:
+                local = self._metadata.block()
+            except Exception:
+                local = b""
+        base, force = override_db.load_disk_blocks()
+        ov = override_db.parse_overrides(local)
+        if not ov.get("ignore_database"):
+            ov.update(override_db.parse_overrides(base, force))
+        return ov
+
     def _encode_device(self, buf: np.ndarray) -> bytes | None:
         """Route the sync encode through the device codec (the TPU
         re-expression of the reference's single hot path,
@@ -354,12 +372,26 @@ class Encoder:
                     progressive=not (self.encoding_flags
                                      & EncodingFlags.YUV_INTERLACED))
         elif self.pixel_format == PixelFormat.YUY2:
-            sample = self._encode_device(buf)
-            self._sample = sample if sample is not None else \
-                intra_host.encode_sample(
-                    buf.tobytes(), self.width, self.height,
-                    int(self.quality), frame_number=self._frame_number,
-                    metadata=frame_meta)
+            ov = self._encoder_overrides()
+            if ov.get("limit_yuv") or ov.get("conv_601_709"):
+                # LYUV/CV67 overrides transform the input pixels during
+                # unpack (`Codec/convert.c:5176-5290`); the hidden tags
+                # themselves are not written into the sample
+                from cineform_tpu.utils.override_db import limit_convert_yuy2
+                y, v, u = limit_convert_yuy2(
+                    buf.reshape(self.height, 2 * self.width),
+                    ov.get("limit_yuv", 0), ov.get("conv_601_709", 0))
+                self._sample = intra_host.encode_sample_planes(
+                    [y, v, u], self.width, self.height, int(self.quality),
+                    input_format=self._INPUT_FORMAT_CODES[PixelFormat.YUY2],
+                    frame_number=self._frame_number, metadata=frame_meta)
+            else:
+                sample = self._encode_device(buf)
+                self._sample = sample if sample is not None else \
+                    intra_host.encode_sample(
+                        buf.tobytes(), self.width, self.height,
+                        int(self.quality), frame_number=self._frame_number,
+                        metadata=frame_meta)
         else:
             quality = int(self.quality)
             quality_tag = None
