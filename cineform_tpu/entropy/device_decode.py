@@ -109,12 +109,14 @@ def interval_tables(codeset: int = 17) -> tuple[tuple[int, ...],
 # ---------------------------------------------------------------------------
 
 def classify(payload: jnp.ndarray, codeset: int = 17) -> jnp.ndarray:
-    """(NB,) uint8 payload -> (NB*8,) int32 packed per-bit-position code:
-    len | count << 5 | mag << 14 | isend << 22 | sign << 23."""
+    """(..., NB) uint8 payload -> (..., NB*8) int32 packed per-bit-position
+    code: len | count << 5 | mag << 14 | isend << 22 | sign << 23.
+    Lead dims are independent payload rows (windows never cross rows)."""
     bounds, dleaf = interval_tables(codeset)
-    b = jnp.concatenate([payload, jnp.zeros(8, jnp.uint8)]).astype(jnp.uint32)
-    nb = payload.shape[0]
-    b0, b1, b2, b3, b4 = (b[i:nb + i] for i in range(5))
+    zpad = [(0, 0)] * (payload.ndim - 1)
+    b = jnp.pad(payload, zpad + [(0, 8)]).astype(jnp.uint32)
+    nb = payload.shape[-1]
+    b0, b1, b2, b3, b4 = (b[..., i:nb + i] for i in range(5))
     hi = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
     lo = b4
     wins = []
@@ -124,7 +126,7 @@ def classify(payload: jnp.ndarray, codeset: int = 17) -> jnp.ndarray:
             wins.append((hi >> (s - 8)) & M27)
         else:
             wins.append(((hi << (8 - s)) | (lo >> s)) & M27)
-    win27 = jnp.stack(wins, axis=-1).reshape(-1)         # (NB*8,)
+    win27 = jnp.stack(wins, axis=-1).reshape(*payload.shape[:-1], nb * 8)
     win26 = (win27 >> 1).astype(jnp.int32)
     # telescoping interval classifier: packed = sum of threshold deltas
     packed = jnp.full(win26.shape, dleaf[0], jnp.int32)  # bounds[0] == 0
@@ -154,42 +156,42 @@ _IOTA32 = tuple(range(32))
 
 
 def _wavefront(packed2d: jnp.ndarray, pend0: jnp.ndarray) -> jnp.ndarray:
-    """Walk all 32 positions of every chunk once; pend0 (T,32) uint32 seeds
-    the phase masks.  Returns WM (T,32): the mask of phases visiting each
-    position."""
+    """Walk all 32 positions of every chunk once; pend0 (..., 32) uint32
+    seeds the phase masks.  Returns WM (..., 32): the mask of phases
+    visiting each position."""
     _, _, mag, isend, _, adv = _unpack(packed2d)
     pend = pend0
-    iota = jnp.arange(32, dtype=jnp.int32)[None, :]
+    iota = jnp.arange(32, dtype=jnp.int32)
     cols = []
     for i in range(32):
-        w = pend[:, i]
+        w = pend[..., i]
         cols.append(w)
-        wl = jnp.where(isend[:, i] == 1, jnp.uint32(0), w)
+        wl = jnp.where(isend[..., i] == 1, jnp.uint32(0), w)
         if i < 31:
-            j = i + adv[:, i]                       # (T,)
-            pend = pend | jnp.where(iota == j[:, None],
-                                    wl[:, None], jnp.uint32(0))
-    return jnp.stack(cols, axis=1)                  # (T, 32)
+            j = i + adv[..., i]                     # (...,)
+            pend = pend | jnp.where(iota == j[..., None],
+                                    wl[..., None], jnp.uint32(0))
+    return jnp.stack(cols, axis=-1)                 # (..., 32)
 
 
 def chunk_transfers(packed2d: jnp.ndarray):
-    """(T,32) packed -> (EXITS (T,27) u32, ENDM (T,) u32, CNT (T,27) i32)."""
-    t = packed2d.shape[0]
+    """(..., 32) packed -> (EXITS (..., 27) u32, ENDM (...,) u32,
+    CNT (..., 27) i32)."""
     _, count, mag, isend, _, adv = _unpack(packed2d)
     pend0 = jnp.broadcast_to(
         jnp.array([np.uint32(1 << i) if i < NPHASE else np.uint32(0)
-                   for i in range(32)], jnp.uint32)[None, :], (t, 32))
+                   for i in range(32)], jnp.uint32), packed2d.shape)
     wm = _wavefront(packed2d, pend0)
     wl = jnp.where(isend == 1, jnp.uint32(0), wm)
-    jall = jnp.arange(32, dtype=jnp.int32)[None, :] + adv       # (T,32)
+    jall = jnp.arange(32, dtype=jnp.int32) + adv                # (..., 32)
     # per-phase exits are unique -> masks disjoint -> OR == SUM
     exits = jnp.stack(
-        [jnp.where(jall == 32 + d, wl, jnp.uint32(0)).sum(axis=1)
-         for d in range(NPHASE)], axis=1)
-    endm = jnp.where(isend == 1, wm, jnp.uint32(0)).sum(axis=1)
+        [jnp.where(jall == 32 + d, wl, jnp.uint32(0)).sum(axis=-1)
+         for d in range(NPHASE)], axis=-1)
+    endm = jnp.where(isend == 1, wm, jnp.uint32(0)).sum(axis=-1)
     cnt = jnp.stack(
-        [(((wl >> p) & 1).astype(jnp.int32) * count).sum(axis=1)
-         for p in range(NPHASE)], axis=1)
+        [(((wl >> p) & 1).astype(jnp.int32) * count).sum(axis=-1)
+         for p in range(NPHASE)], axis=-1)
     return exits, endm, cnt
 
 
@@ -242,11 +244,40 @@ def scan_entries(exits, endm, cnt, reset):
 # Stage 4: final walk from the true entry phases
 # ---------------------------------------------------------------------------
 
+def scan_entries_rows(exits, endm, cnt):
+    """Per-row transfer scan: each lead row is one whole band starting at
+    phase 0, chunk 0 (no reset plumbing — rows are independent).
+    exits (..., S, 27), endm (..., S), cnt (..., S, 27) ->
+    (entry (..., S) i32, coeff base (..., S) i32)."""
+    lead = exits.shape[:-2]
+    s = exits.shape[-2]
+    ident_e = jnp.array([np.uint32(1 << i) for i in range(NPHASE)],
+                        jnp.uint32)
+    pad2 = [(0, 0)] * (exits.ndim - 2)
+    h_e = jnp.concatenate(
+        [jnp.broadcast_to(ident_e, (*lead, 1, NPHASE)), exits[..., :-1, :]],
+        axis=-2)
+    h_m = jnp.concatenate(
+        [jnp.zeros((*lead, 1), jnp.uint32), endm[..., :-1]], axis=-1)
+    h_c = jnp.concatenate(
+        [jnp.zeros((*lead, 1, NPHASE), jnp.int32), cnt[..., :-1, :]],
+        axis=-2)
+    reset = jnp.zeros((*lead, s), bool)
+    axis = exits.ndim - 2
+    pe, pm, pc, _ = jax.lax.associative_scan(
+        _combine, (h_e, h_m, h_c, reset), axis=axis)
+    done = (pm & 1) == 1
+    r = jnp.arange(NPHASE, dtype=jnp.int32)
+    entry = (r * ((pe & 1) == 1)).sum(axis=-1).astype(jnp.int32)
+    entry = jnp.where(done, DONE, entry)
+    return entry, pc[..., 0]
+
+
 def final_walk(packed2d: jnp.ndarray, entry: jnp.ndarray) -> jnp.ndarray:
-    """(T,32) packed + (T,) entry phases -> ACT (T,32) uint32 0/1 marks of
-    true codeword start positions (band-end positions excluded)."""
-    iota = jnp.arange(32, dtype=jnp.int32)[None, :]
-    pend0 = jnp.where(iota == entry[:, None], jnp.uint32(1), jnp.uint32(0))
+    """(..., 32) packed + (...,) entry phases -> ACT (..., 32) uint32 0/1
+    marks of true codeword start positions (band-end positions excluded)."""
+    iota = jnp.arange(32, dtype=jnp.int32)
+    pend0 = jnp.where(iota == entry[..., None], jnp.uint32(1), jnp.uint32(0))
     wm = _wavefront(packed2d, pend0)
     isend = (packed2d >> 22) & 1
     return jnp.where(isend == 1, jnp.uint32(0), wm)
@@ -265,32 +296,33 @@ def _excl_cumsum32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def emit_slots(packed2d, act, base, region_base, region_end, quant, linear):
-    """Per-chunk emissions -> front-packed (T, NSLOT) slot arrays.
+    """Per-chunk emissions -> front-packed (..., NSLOT) slot arrays.
 
-    region_base/region_end/quant/linear: (T,) per-chunk band attributes
-    (global output offsets, int16-wrap dequant factor, cs18 flag).
-    Returns (tgt (T,NSLOT) i32, val (T,NSLOT) u32 low-16 dq bits,
-    nval (T,) i32, ovf (T,) bool)."""
+    packed2d/act: (..., 32); base/region_base/region_end/quant/linear:
+    (...,) per-chunk band attributes (global output offsets, int16-wrap
+    dequant factor, cs18 flag).  Returns (tgt (..., NSLOT) i32,
+    val (..., NSLOT) u32 low-16 dq bits, nval (...,) i32, ovf (...,)
+    bool)."""
     _, count, mag, isend, sign, _ = _unpack(packed2d)
     a = act.astype(jnp.int32)
     csel = count * a
-    tgt = region_base[:, None] + base[:, None] + _excl_cumsum32(csel)
-    expand = jnp.where(linear[:, None] == 1, mag,
+    tgt = region_base[..., None] + base[..., None] + _excl_cumsum32(csel)
+    expand = jnp.where(linear[..., None] == 1, mag,
                        mag + ((mag * mag * mag * 3) >> 16))
     v = jnp.where(sign == 1, -expand, expand)
-    dq = ((v * quant[:, None]) << 16) >> 16            # DeQuantFSM int16 wrap
+    dq = ((v * quant[..., None]) << 16) >> 16          # DeQuantFSM int16 wrap
     emitting = (a == 1) & (mag > 0)
-    ovf = (emitting & (tgt >= region_end[:, None])).any(axis=1)
-    valid = emitting & (tgt < region_end[:, None])
+    ovf = (emitting & (tgt >= region_end[..., None])).any(axis=-1)
+    valid = emitting & (tgt < region_end[..., None])
     rank = _excl_cumsum32(valid.astype(jnp.int32))
     ctgt = jnp.stack(
-        [jnp.where(valid & (rank == r), tgt, 0).sum(axis=1)
-         for r in range(NSLOT)], axis=1)
+        [jnp.where(valid & (rank == r), tgt, 0).sum(axis=-1)
+         for r in range(NSLOT)], axis=-1)
     cval = jnp.stack(
         [jnp.where(valid & (rank == r),
-                   dq.astype(jnp.uint32) & 0xFFFF, 0).sum(axis=1)
-         for r in range(NSLOT)], axis=1)
-    nval = valid.astype(jnp.int32).sum(axis=1)
+                   dq.astype(jnp.uint32) & 0xFFFF, 0).sum(axis=-1)
+         for r in range(NSLOT)], axis=-1)
+    nval = valid.astype(jnp.int32).sum(axis=-1)
     return ctgt, cval, nval, ovf
 
 
@@ -329,14 +361,15 @@ def compact_slots(ctgt, cval, nval):
     tgt = jnp.where(valid, ctgt, 0).reshape(-1)
     rem = rem.reshape(-1)
     n = t * NSLOT
-    maxrem = rem.max()
+    # Unconditioned levels on purpose: wrapping each level in a
+    # data-dependent `lax.cond` guard breaks XLA's fusion and measured
+    # ~20x slower at production shapes (see ops/pallas_merge.py), and in
+    # practice the large levels are always active (displacements grow
+    # with the front-packing slack).
     k = 0
     while (1 << k) <= n:
         s = 1 << k
-        rem, val, tgt = jax.lax.cond(
-            maxrem >= s,
-            lambda a: _compact_level(a, s, k),
-            lambda a: a, (rem, val, tgt))
+        rem, val, tgt = _compact_level((rem, val, tgt), s, k)
         k += 1
     return tgt, val
 
@@ -376,14 +409,13 @@ def spread_slots(tgt, val, nout: int):
     rem = jnp.minimum(suffmin, jnp.int32(nout + 8))     # tail clamp
     varr = jnp.concatenate([val, jnp.zeros(arr - s, jnp.uint32)])
     darr = jnp.concatenate([rem, jnp.zeros(arr - s, jnp.int32)])
-    maxd = darr[:s].max()
+    # unconditioned levels: see compact_slots — cond guards measured ~20x
+    # slower (fusion break), and rem is clamped to nout+8 so every level
+    # below the static bound is live on real streams
     nbits = int(arr).bit_length()
     for k in range(nbits - 1, -1, -1):
         step = 1 << k
-        darr, varr = jax.lax.cond(
-            maxd >= step,
-            lambda a: _spread_level(a, step, k),
-            lambda a: a, (darr, varr))
+        darr, varr = _spread_level((darr, varr), step, k)
     out = varr[:nout].astype(jnp.int32)
     return (out << 16) >> 16                            # reinterpret int16
 
@@ -398,6 +430,95 @@ def _spread_level(args, step, k):
     darr = jnp.maximum(jnp.where(bit == 1, 0, darr),
                        jnp.where(mbit == 1, md - step, 0))
     return darr, varr
+
+
+def compact_rows(ctgt, cval, nval):
+    """Per-row front-packing of valid slots: (..., S, NSLOT) slot arrays
+    -> (..., S*NSLOT) compacted (tgt, val).  Same monotone-displacement
+    argument as `compact_slots`, vectorized over lead rows; the network
+    runs along the last axis only (log2(S*NSLOT) levels), which keeps
+    XLA compile time flat in the number of rows."""
+    *lead, s, _ = ctgt.shape
+    csum = jnp.cumsum(nval, axis=-1)
+    r_k = csum - nval                                   # exclusive prefix
+    d_c = jnp.arange(s, dtype=jnp.int32) * NSLOT - r_k
+    d_next = jnp.concatenate(
+        [d_c[..., 1:], s * NSLOT - csum[..., -1:]], axis=-1)
+    lane = jnp.arange(NSLOT, dtype=jnp.int32)
+    rem = jnp.where(lane < nval[..., None], d_c[..., None],
+                    jnp.minimum(d_c[..., None] + lane - nval[..., None] + 1,
+                                d_next[..., None]))
+    valid = lane < nval[..., None]
+    val = jnp.where(valid, cval, 0).reshape(*lead, s * NSLOT)
+    tgt = jnp.where(valid, ctgt, 0).reshape(*lead, s * NSLOT)
+    rem = rem.reshape(*lead, s * NSLOT)
+    n = s * NSLOT
+    k = 0
+    while (1 << k) <= n:
+        rem, val, tgt = _compact_level((rem, val, tgt), 1 << k, k)
+        k += 1
+    return tgt, val
+
+
+def spread_rows(tgt, val, nout: int):
+    """Per-row spread: compacted (..., N) slots -> dense (..., nout) i32
+    coefficient rows (high-bit-first collision-free network along the
+    last axis; see `spread_slots` for the displacement argument)."""
+    *lead, s = tgt.shape
+    arr = s + nout + 8
+    sidx = jnp.arange(s, dtype=jnp.int32)
+    valid = val != 0
+    d = jnp.where(valid, tgt - sidx, jnp.int32(arr))
+    suffmin = jax.lax.associative_scan(jnp.minimum, d, reverse=True,
+                                       axis=tgt.ndim - 1)
+    rem = jnp.minimum(suffmin, jnp.int32(nout + 8))     # tail clamp
+    zlead = [(0, 0)] * len(lead)
+    varr = jnp.pad(val, zlead + [(0, arr - s)])
+    darr = jnp.pad(rem, zlead + [(0, arr - s)])
+    nbits = int(arr).bit_length()
+    for k in range(nbits - 1, -1, -1):
+        darr, varr = _spread_level((darr, varr), 1 << k, k)
+    out = varr[..., :nout].astype(jnp.int32)
+    return (out << 16) >> 16                            # reinterpret int16
+
+
+def decode_band_rows(payload: jnp.ndarray,
+                     nchunks: jnp.ndarray,
+                     quant: jnp.ndarray,
+                     linear: jnp.ndarray,
+                     nout: int):
+    """Decode R independent band bitstreams of one size class.
+
+    payload: (R, S*4) uint8 — each row is ONE complete band payload
+    (32-bit aligned, band-end terminated), zero-padded to S chunks.
+    nchunks/quant/linear: (R,) actual chunk count and band attributes.
+    nout: static dense region size (band h * pitch) shared by the class.
+    Returns (coeffs (R, nout) i32, ovf (R,) bool).
+
+    This is the production layout: band classes (wavelet level x plane
+    type) have uniform shapes, so the placement networks run along a
+    bounded last axis and never see the whole-sample payload — XLA
+    compile time stays flat in batch and resolution (the single giant
+    1-D formulation's networks compiled superlinearly in T and broke
+    down around 1080p sizes), and every stage vectorizes over rows.
+    """
+    *lead, nb = payload.shape
+    s = nb // 4
+    packed = classify(payload).reshape(*lead, s, 32)
+    exits, endm, cnt = chunk_transfers(packed)
+    entry, base = scan_entries_rows(exits, endm, cnt)
+    act = final_walk(packed, entry)
+    cidx = jnp.arange(s, dtype=jnp.int32)
+    act = act * (cidx < nchunks[..., None])[..., None].astype(jnp.uint32)
+    shape = (*lead, s)
+    rb = jnp.zeros(shape, jnp.int32)
+    re_ = jnp.full(shape, nout, jnp.int32)
+    qn = jnp.broadcast_to(quant[..., None], shape)
+    lin = jnp.broadcast_to(linear[..., None], shape)
+    ctgt, cval, nval, covf = emit_slots(packed, act, base, rb, re_, qn, lin)
+    tgt, val = compact_rows(ctgt, cval, nval)
+    coeffs = spread_rows(tgt, val, nout)
+    return coeffs, covf.any(axis=-1)
 
 
 # ---------------------------------------------------------------------------

@@ -281,67 +281,73 @@ class IntraCodec:
 
     # --- fully device-side decode: entropy + inverse transform --------------
 
-    @partial(jax.jit, static_argnums=(0, 9, 10, 11))
-    def _decode_device_program(self, payload, reset, region_base, region_end,
-                               quant, linear, inband, lowpass,
-                               nout: int, batch: int, frame_index: int):
-        """Payload bytes + per-chunk metadata -> (B, H, 2W) uint8 YUY2.
+    #: band classes: (wavelet index k, plane channels) — k indexes band
+    #: dims plane >> (k+1); luma (channel 0) and chroma (1, 2) have
+    #: different widths so they decode as separate row classes
+    _DECODE_CLASSES = tuple((k, planes)
+                            for k in range(3) for planes in ((0,), (1, 2)))
 
-        The whole of DecodeSample's hot path on device: band entropy
-        decode (entropy/device_decode, the TPU DecodeBandFSM16sNoGap)
-        feeding the batched inverse DWT fused with 8-bit output
-        (`Codec/decoder.c:11584` DecodeSampleIntraFrame +
-        `ReconstructSampleFrameToBuffer`)."""
+    def _class_dims(self, k: int, planes: tuple[int, ...]):
+        bh = self.height >> (k + 1)
+        plane_w = self.width if planes == (0,) else self.width // 2
+        bw = plane_w >> (k + 1)
+        return bh, bw, intra_host.align16_pixels(bw)
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _decode_class_program(self, pay, nch, qn, lin, ci: int):
+        """One band row class (pay (R, S*4) u8, rows (frame, channel,
+        band)) -> ((B, planes, 3, bh, bw) i32 coefficients, (B,) overflow
+        flags).  The TPU DecodeBandFSM16sNoGap (entropy/device_decode)."""
         from cineform_tpu.entropy import device_decode as ddec
 
-        coeffs_flat, ovf = ddec.decode_payload(
-            payload, reset, region_base, region_end, quant, linear,
-            inband, nout=nout)
+        k, planes = self._DECODE_CLASSES[ci]
+        bh, bw, pitch = self._class_dims(k, planes)
+        co, ovf = ddec.decode_band_rows(pay, nch, qn, lin, nout=bh * pitch)
+        batch = pay.shape[0] // (len(planes) * 3)
+        co = co.reshape(batch, len(planes), 3, bh, pitch)[..., :bw]
+        return co, ovf.reshape(batch, -1).any(axis=1)
+
+    def _decode_device_program(self, pay, nch, qn, lin, lowpass,
+                               batch: int, frame_index: int):
+        """Per-class band payload rows -> ((B, H, 2W) uint8 YUY2, (B,)
+        overflow flags).
+
+        The whole of DecodeSample's hot path on device: band entropy
+        decode feeding the batched inverse DWT fused with 8-bit output
+        (`Codec/decoder.c:11584` DecodeSampleIntraFrame +
+        `ReconstructSampleFrameToBuffer`).  pay/nch/qn/lin are 6-tuples
+        (one per _DECODE_CLASSES row class).  Runs as 6 + 1 jitted
+        programs with device-resident intermediates — one fused program
+        compiled 4x slower on the TPU backend and hung LLVM on the CPU
+        backend; callers wanting a single traced program (chained
+        benchmarks, sharded steps) can trace THIS method inside an outer
+        jit, which inlines the pieces."""
+        coeffs_by = {}
+        ovfs = []
+        for ci, (k, planes) in enumerate(self._DECODE_CLASSES):
+            co, ovf = self._decode_class_program(pay[ci], nch[ci], qn[ci],
+                                                 lin[ci], ci)
+            for pi, ch in enumerate(planes):
+                coeffs_by[(ch, k)] = tuple(co[:, pi, b] for b in range(3))
+            ovfs.append(ovf)
         coeffs = []
         for ch in range(3):
-            plane_w = self.width if ch == 0 else self.width // 2
-            bands = []
-            for k in range(3):
-                trio = []
-                for band in (1, 2, 3):
-                    off, h, pitch, w = self._band_region(ch, k, band, batch)
-                    region = coeffs_flat[off:off + batch * h * pitch]
-                    trio.append(region.reshape(batch, h, pitch)[:, :, :w])
-                bands.append(tuple(trio))
+            bands = [coeffs_by[(ch, k)] for k in range(3)]
             coeffs.append((jnp.asarray(lowpass[ch]), bands))
-        return self.inverse(coeffs, frame_index), ovf
+        ovf_frame = jnp.stack(ovfs, axis=0).any(axis=0)        # (batch,)
+        return self.inverse(coeffs, frame_index), ovf_frame
 
-    @lru_cache(maxsize=8)
-    def _band_plan(self, batch: int):
-        """Static output-region layout: (ch, widx, band) -> (offset, h,
-        pitchw, w); regions ordered so targets increase with payload
-        order (band-group major, frame minor)."""
-        regions = {}
-        off = 0
-        for ch in range(3):
-            plane_w = self.width if ch == 0 else self.width // 2
-            for k in range(3):
-                # widx k holds subbands (7,8,9) - 3k: wavelet level k+1,
-                # band dims = plane dims >> (k + 1)
-                bh = self.height >> (k + 1)
-                bw = plane_w >> (k + 1)
-                pitch = intra_host.align16_pixels(bw)
-                for band in (1, 2, 3):
-                    regions[(ch, k, band)] = (off, bh, pitch, bw)
-                    off += batch * bh * pitch
-        return regions, off
-
-    def _band_region(self, ch: int, k: int, band: int, batch: int):
-        regions, _ = self._band_plan(batch)
-        return regions[(ch, k, band)]
-
-    #: floor for the payload capacity bucket (chunks of 32 bits); buckets
-    #: double from here so each config compiles a handful of programs
-    MIN_CAP_CHUNKS = 32768
+    #: floor for the per-class row capacity bucket (chunks of 32 bits);
+    #: buckets double from here so each config compiles a handful of
+    #: programs.  Row classes keep every placement network's last axis
+    #: bounded by one band's payload — the single giant 1-D payload
+    #: formulation compiled superlinearly in total chunks (the
+    #: associative transfer scan alone took ~20 min at 1080p scale).
+    MIN_ROW_CHUNKS = 256
 
     def decode_batch_device(self, samples: list[bytes],
                             frame_index: int = 0,
-                            min_cap_chunks: int | None = None) -> np.ndarray:
+                            min_row_chunks: int | None = None) -> np.ndarray:
         """Decode CFHD samples to YUY2 wholly on device: the host only
         walks sample headers and slices payloads; entropy decode, inverse
         DWT, dither and output packing all run in one traced program.
@@ -351,7 +357,6 @@ class IntraCodec:
         from cineform_tpu.bitstream import parse_sample
 
         batch = len(samples)
-        regions, nout = self._band_plan(batch)
         payload_parts = {}
         lowpass = [[None] * batch for _ in range(3)]
         fallback = set()
@@ -383,43 +388,37 @@ class IntraCodec:
         if not live:
             return self.decode_batch(samples, frame_index)
 
-        # build the concatenated payload + per-chunk metadata, ordered to
-        # match the region layout (band-group major, frame minor)
-        parts = []
-        meta_rows = []     # (nchunks, reset, base, end, quant, linear)
-        for ch in range(3):
-            for k in range(3):
-                for band in (1, 2, 3):
-                    off, bh, pitch, bw = regions[(ch, k, band)]
-                    for i in live:
-                        data, q, lin = payload_parts[(ch, k, band, i)]
-                        nch = len(data) // 4
-                        base = off + i * bh * pitch
-                        parts.append(data)
-                        meta_rows.append((nch, base, base + bh * pitch,
-                                          q, lin))
-        payload = b"".join(parts)
-        used_chunks = len(payload) // 4
-        cap = min_cap_chunks or self.MIN_CAP_CHUNKS
-        while cap < used_chunks + 1:
-            cap *= 2
-        payload = payload + b"\0" * (4 * (cap - used_chunks))
-        reset = np.zeros(cap, bool)
-        region_base = np.zeros(cap, np.int32)
-        region_end = np.zeros(cap, np.int32)
-        quant = np.ones(cap, np.int32)
-        linear = np.zeros(cap, np.int32)
-        inband = np.zeros(cap, np.int32)
-        pos = 0
-        for nch, base, end, q, lin in meta_rows:
-            reset[pos] = True
-            region_base[pos:pos + nch] = base
-            region_end[pos:pos + nch] = end
-            quant[pos:pos + nch] = q
-            linear[pos:pos + nch] = lin
-            inband[pos:pos + nch] = 1
-            pos += nch
-        reset[pos:] = True
+        # per-class row tensors, rows ordered (frame, channel, band);
+        # fallback frames get empty rows (decoded to zeros, overwritten)
+        minc = min_row_chunks or self.MIN_ROW_CHUNKS
+        pays, nchs, qns, lins = [], [], [], []
+        for k, planes in self._DECODE_CLASSES:
+            rows = []
+            for i in range(batch):
+                for ch in planes:
+                    for band in (1, 2, 3):
+                        if i in fallback:
+                            rows.append((b"", 1, 0))
+                        else:
+                            rows.append(payload_parts[(ch, k, band, i)])
+            cap = minc
+            maxc = max(len(d) // 4 for d, _, _ in rows)
+            while cap < maxc:
+                cap *= 2
+            nr = len(rows)
+            pay = np.zeros((nr, cap * 4), np.uint8)
+            nch = np.zeros(nr, np.int32)
+            qn = np.ones(nr, np.int32)
+            lin = np.zeros(nr, np.int32)
+            for r, (d, q, li) in enumerate(rows):
+                pay[r, :len(d)] = np.frombuffer(d, np.uint8)
+                nch[r] = len(d) // 4
+                qn[r] = q
+                lin[r] = li
+            pays.append(jnp.asarray(pay))
+            nchs.append(jnp.asarray(nch))
+            qns.append(jnp.asarray(qn))
+            lins.append(jnp.asarray(lin))
 
         # frames not decoded on device still need placeholder lowpass
         lp = []
@@ -433,26 +432,11 @@ class IntraCodec:
             lp.append(jnp.asarray(arr))
 
         out, ovf = self._decode_device_program(
-            jnp.asarray(np.frombuffer(payload, np.uint8)),
-            jnp.asarray(reset), jnp.asarray(region_base),
-            jnp.asarray(region_end), jnp.asarray(quant),
-            jnp.asarray(linear), jnp.asarray(inband), lp,
-            nout, batch, frame_index)
+            tuple(pays), tuple(nchs), tuple(qns), tuple(lins), tuple(lp),
+            batch, frame_index)
         out = np.asarray(jax.device_get(out))
-        ovf = np.asarray(ovf)
-        if ovf.any():
-            # map overflowing chunks back to frames -> host fallback
-            pos = 0
-            idx = 0
-            for ch in range(3):
-                for k in range(3):
-                    for band in (1, 2, 3):
-                        for i in live:
-                            nch = meta_rows[idx][0]
-                            if ovf[pos:pos + nch].any():
-                                fallback.add(i)
-                            pos += nch
-                            idx += 1
+        for i in np.nonzero(np.asarray(ovf))[0]:
+            fallback.add(int(i))
         if fallback:
             host = self.decode_batch([samples[i] for i in sorted(fallback)],
                                      frame_index)

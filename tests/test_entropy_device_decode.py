@@ -102,5 +102,5 @@ def test_sample_decode_device_matches_host():
     frames = rng.integers(0, 256, (2, 64, 256), dtype=np.uint8)
     samples = codec.encode_batch(frames)
     host = codec.decode_batch(samples)
-    dev = codec.decode_batch_device(samples, min_cap_chunks=8192)
+    dev = codec.decode_batch_device(samples)
     assert (host == dev).all()
