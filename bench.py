@@ -1,27 +1,33 @@
 #!/usr/bin/env python3
-"""Benchmark: 1080p YUY2 CFHD encode throughput per TPU chip — honest.
+"""Benchmark: 1080p YUY2 CFHD encode+decode throughput per TPU chip.
 
-Primary metric: the FULL on-device encode — YUY2 frames in HBM ->
-unpack -> 3-level production 2-6 DWT with fused quantization -> zero-run
-+ Huffman entropy coding -> packed CFHD band payloads in HBM
-(`IntraCodec.forward_packed`).  This is every bit of EncodeSample's hot
-path (`Codec/encoder.c:1897-5702`) executing on the chip; the samples it
-yields are byte-exact vs the reference encoder (tests/test_intra_jax.py).
+Primary metric: the FULL on-device encode + decode round trip —
+encode: YUY2 frames in HBM -> unpack -> 3-level production 2-6 DWT with
+fused quantization -> zero-run + Huffman entropy coding -> packed CFHD
+band payloads in HBM (`IntraCodec.forward_packed`);
+decode: band payload rows in HBM -> TPU band entropy decode
+(`entropy/device_decode`) -> dequant + inverse DWT + dither + YUY2 pack
+(`IntraCodec._decode_device_program`).  Both directions are every bit of
+the reference's hot path (`Codec/encoder.c:1897-5702`,
+`Codec/decoder.c:11584/19532`) executing on the chip, and both are
+byte-exact vs the reference SDK (tests/test_intra_jax.py,
+tests/test_entropy_device_decode.py).  The per-frame combined time adds
+the measured host tails (sample assembly on encode, header walk + row
+build on decode), which a production host pipelines across cores.
 
-Details also measure, honestly and separately:
-- the host assembly tail (headers + band-payload slicing; numpy, no chip),
-- the host C++ entropy decode per frame (this 1-core bench host cannot
-  pipeline it; a TPU entropy decode is the round-3 path),
-- the device decode transform (dequant + inverse DWT + dither/output),
-- the transform-only roundtrip rate (the round-1 headline, kept for
-  comparison),
-- compression ratio and roundtrip PSNR.
+Details also report the encode-only rate, the transform-only roundtrip,
+host C++ entropy stage times (1 core), compression ratio + PSNR on the
+dense noise content AND on the smooth gradient content (the QBist-like
+patterns the reference README benches quote ratios for), and the device
+encoder's capacity-overflow fallback rate on both.
 
 Note on environment: this bench host reaches the chip through a tunnel
 with ~30ms+ RTT and ~0.2 MB/s download, so every timed loop chains K
 iterations with a data dependence inside one jitted program and fetches
 a single scalar; sample bytes stay in HBM (in production a local PCIe
-host drains them at GB/s).
+host drains them at GB/s).  Independent per-call dispatch measurements
+are invalid on this tunnel (after any device->host pull, per-dispatch
+latency degrades ~100x for a while).
 
 Prints one JSON line.
 """
@@ -82,10 +88,32 @@ def main() -> None:
         acc, _ = jax.lax.fori_loop(0, K * 3, body, (jnp.int32(0), frames))
         return acc
 
+    # full decode: band payload rows -> entropy decode -> inverse -> YUY2
+    # (class tensors from real encoded samples of this content)
+    t0 = time.perf_counter()
+    samples = codec.encode_batch_device(frames)
+    encode_path_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pays, nchs, qns, lins, lp, fb = codec._decode_rows_args(samples)
+    parse_ms = (time.perf_counter() - t0) / batch * 1000
+    assert not fb, f"bench samples fell back: {fb}"
+
+    @jax.jit
+    def chained_decode(pays, nchs, qns, lins, lp):
+        def body(_, carry):
+            pays, acc = carry
+            out, ovf = codec._decode_device_program(
+                pays, nchs, qns, lins, lp, batch, 0)
+            s = out[:, 0, 0].astype(jnp.int32).sum()
+            pays = tuple(p ^ (s & 1).astype(jnp.uint8) for p in pays)
+            return pays, acc + s
+        return jax.lax.fori_loop(0, K, body, (pays, jnp.int32(0)))[1]
+
     dev_frames = jax.device_put(jnp.asarray(frames))
     mse = float(roundtrip_mse(dev_frames))    # quality stat + warm
     float(chained_encode(dev_frames))          # compile + warm
     float(chained_roundtrip(dev_frames))
+    float(chained_decode(pays, nchs, qns, lins, lp))
 
     iters = 2
     t0 = time.perf_counter()
@@ -96,19 +124,44 @@ def main() -> None:
     for _ in range(iters):
         float(chained_roundtrip(dev_frames))
     rt_ms = (time.perf_counter() - t0) / (iters * K * 3 * batch) * 1000
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(chained_decode(pays, nchs, qns, lins, lp))
+    dec_ms = (time.perf_counter() - t0) / (iters * K * batch) * 1000
 
     encode_fps = 1000.0 / enc_ms
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else 99.0
 
-    # compression ratio from the device bit counts (scalar-sized fetch)
-    bit_counts = jax.jit(lambda f: jnp.stack(
-        [p[1].sum() for _, packed in codec.forward_packed(f)
-         for p in packed]))(dev_frames)
-    total_bits = int(np.asarray(jax.device_get(bit_counts)).sum()) / batch
+    # compression ratio + device-encode overflow rate from the device bit
+    # counts (scalar-sized fetches), for the dense noise content and the
+    # smooth gradient content (QBist-like; comparable to the reference
+    # README's 8.7-21.8:1 ratios on algorithmic patterns)
+    def _stats(f):
+        out = codec.forward_packed(f)
+        bits = jnp.stack([p[1].sum() for _, packed in out for p in packed])
+        novf = sum(p[2].astype(jnp.int32).sum()
+                   for _, packed in out for p in packed)
+        return bits, novf
+
+    stats_fn = jax.jit(_stats)
     lowpass_bytes = sum(2 * (h >> 3) * ((w if c == 0 else w // 2) >> 3)
                         for c in range(3))
-    sample_bytes = total_bits / 8 + lowpass_bytes + 1024  # + headers approx
-    ratio = (2 * w * h) / sample_bytes
+
+    def content_stats(f):
+        bits, novf = stats_fn(f)
+        total_bits = int(np.asarray(jax.device_get(bits)).sum()) / batch
+        sample_bytes = total_bits / 8 + lowpass_bytes + 1024  # + headers
+        return (2 * w * h) / sample_bytes, int(novf)
+
+    ratio, novf_noise = content_stats(dev_frames)
+    smooth_base = np.frombuffer(yuy2_frame(w, h, 0),
+                                dtype=np.uint8).reshape(h, 2 * w)
+    smooth = jax.device_put(jnp.asarray(np.stack(
+        [np.roll(smooth_base, i, axis=0) for i in range(batch)])))
+    ratio_smooth, novf_smooth = content_stats(smooth)
+    mse_smooth = float(roundtrip_mse(smooth))
+    psnr_smooth = (10 * np.log10(255.0 ** 2 / mse_smooth)
+                   if mse_smooth > 0 else 99.0)
 
     # host-side stages, measured on host data (the tunnel would otherwise
     # dominate): C++ entropy encode/decode per frame, and sample assembly
@@ -165,28 +218,49 @@ def main() -> None:
         intra_host.write_sample(ch_objs, params, 1, None)
     assembly_ms = (time.perf_counter() - t0) / 5 * 1000
 
+    combined_ms = enc_ms + assembly_ms + parse_ms + dec_ms
+    combined_fps = 1000.0 / combined_ms
+    # reference combined: async pools amortize the sync per-frame times
+    # (README.md:62-92) over 8 cores: (9.3 + 5.4)/8 = 1.84 ms/frame
+    ref_combined_fps = 1000.0 / ((9.3 + 5.4) / 8)
+
     print(json.dumps({
-        "metric": "1080p_yuy2_full_device_encode_fps_per_chip",
-        "value": round(encode_fps, 2),
+        "metric": "1080p_yuy2_device_encode_decode_fps_per_chip",
+        "value": round(combined_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(encode_fps / 923.6, 4),
+        "vs_baseline": round(combined_fps / ref_combined_fps, 4),
         "detail": {
             "full_encode_ms_per_frame": round(enc_ms, 3),
+            "full_encode_fps": round(encode_fps, 1),
+            "encode_vs_reference_923.6fps": round(encode_fps / 923.6, 4),
+            "full_decode_ms_per_frame": round(dec_ms, 3),
+            "full_decode_fps": round(1000.0 / dec_ms, 1),
+            "host_assembly_ms_per_frame": round(assembly_ms, 2),
+            "host_parse_rows_ms_per_frame": round(parse_ms, 2),
+            "combined_ms_per_frame": round(combined_ms, 3),
             "transform_roundtrip_ms_per_frame": round(rt_ms, 3),
             "transform_roundtrip_fps": round(1000.0 / rt_ms, 1),
-            "roundtrip_psnr_db": round(float(psnr), 2),
-            "compression_ratio": round(ratio, 2),
-            "host_assembly_ms_per_frame": round(assembly_ms, 2),
+            "noise_content": {
+                "roundtrip_psnr_db": round(float(psnr), 2),
+                "compression_ratio": round(ratio, 2),
+                "device_encode_band_overflows": novf_noise,
+            },
+            "smooth_content": {
+                "roundtrip_psnr_db": round(float(psnr_smooth), 2),
+                "compression_ratio": round(ratio_smooth, 2),
+                "device_encode_band_overflows": novf_smooth,
+            },
             "host_entropy_encode_ms_per_frame_1core": round(entropy_enc_ms, 2),
             "host_entropy_decode_ms_per_frame_1core": round(entropy_dec_ms, 2),
-            "serial_e2e_with_host_entropy_decode_fps": round(
-                1000.0 / (enc_ms + assembly_ms + entropy_dec_ms
-                          + rt_ms / 2), 1),
             "batch": batch,
             "device": str(jax.devices()[0]),
-            "note": ("encode is the complete bit-exact CFHD hot path on "
-                     "device, payloads in HBM; sample bytes verified "
-                     "byte-exact vs the reference encoder in tests"),
+            "note": ("encode AND decode are the complete bit-exact CFHD "
+                     "hot paths on device (payloads/frames in HBM), both "
+                     "byte-exact vs the reference SDK in tests; combined "
+                     "adds the measured single-core host tails (sample "
+                     "assembly, header walk).  Reference combined "
+                     "baseline: (9.3+5.4)ms sync over 8 cores = 543.6 "
+                     "fps (README.md:62-92)"),
         },
     }))
 

@@ -103,8 +103,11 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
                 vals[mask] = flat
             bands[widx][slot] = vals
         wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
+        off = intra_host.lowpass_channel_offset(c.lowpass.shape[1],
+                                                num_frames=2)
+        lp = (c.lowpass + off).astype(c.lowpass.dtype) if off else c.lowpass
         f0, f1 = gxf.inverse_channel_gop(
-            c.lowpass, wb, reference_compatible=reference_compatible,
+            lp, wb, reference_compatible=reference_compatible,
             dither0=d0, dither1=d1, progressive=progressive,
             dither_group=16 if ci == 0 else 8)
         frames0.append(f0)

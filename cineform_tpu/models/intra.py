@@ -345,15 +345,15 @@ class IntraCodec:
     #: associative transfer scan alone took ~20 min at 1080p scale).
     MIN_ROW_CHUNKS = 256
 
-    def decode_batch_device(self, samples: list[bytes],
-                            frame_index: int = 0,
-                            min_row_chunks: int | None = None) -> np.ndarray:
-        """Decode CFHD samples to YUY2 wholly on device: the host only
-        walks sample headers and slices payloads; entropy decode, inverse
-        DWT, dither and output packing all run in one traced program.
-        Byte-identical to decode_batch; frames whose streams use legacy
-        codesets, peaks tables or overflow the payload capacity fall back
-        to the host path per frame."""
+    def _decode_rows_args(self, samples: list[bytes],
+                          min_row_chunks: int | None = None):
+        """Host header walk: samples -> per-class row tensors.
+
+        Returns (pays, nchs, qns, lins, lp, fallback) — 6-tuples of
+        (R, S*4)/(R,) device arrays per _DECODE_CLASSES class (rows
+        ordered (frame, channel, band)), the 3 lowpass planes, and the
+        set of frame indices needing host fallback (wrong dims, legacy
+        codesets, peaks bands); fallback frames get empty rows."""
         from cineform_tpu.bitstream import parse_sample
 
         batch = len(samples)
@@ -367,7 +367,9 @@ class IntraCodec:
                 fallback.add(i)
                 continue
             for ch, c in enumerate(s.channels):
-                lowpass[ch][i] = c.lowpass
+                off = intra_host.lowpass_channel_offset(c.lowpass.shape[1])
+                lowpass[ch][i] = ((c.lowpass + off).astype(c.lowpass.dtype)
+                                  if off else c.lowpass)
                 for b in c.bands:
                     widx = 2 - (b.subband - 1) // 3
                     if b.peaks is not None or len(b.data) % 4:
@@ -385,11 +387,7 @@ class IntraCodec:
                         if (ch, k, band, i) not in payload_parts:
                             fallback.add(i)
         live = [i for i in range(batch) if i not in fallback]
-        if not live:
-            return self.decode_batch(samples, frame_index)
 
-        # per-class row tensors, rows ordered (frame, channel, band);
-        # fallback frames get empty rows (decoded to zeros, overwritten)
         minc = min_row_chunks or self.MIN_ROW_CHUNKS
         pays, nchs, qns, lins = [], [], [], []
         for k, planes in self._DECODE_CLASSES:
@@ -430,10 +428,26 @@ class IntraCodec:
                 if lowpass[ch][i] is not None:
                     arr[i] = lowpass[ch][i]
             lp.append(jnp.asarray(arr))
+        return (tuple(pays), tuple(nchs), tuple(qns), tuple(lins),
+                tuple(lp), fallback)
+
+    def decode_batch_device(self, samples: list[bytes],
+                            frame_index: int = 0,
+                            min_row_chunks: int | None = None) -> np.ndarray:
+        """Decode CFHD samples to YUY2 wholly on device: the host only
+        walks sample headers and slices payloads; entropy decode, inverse
+        DWT, dither and output packing all run in one traced program.
+        Byte-identical to decode_batch; frames whose streams use legacy
+        codesets, peaks tables or overflow the payload capacity fall back
+        to the host path per frame."""
+        batch = len(samples)
+        pays, nchs, qns, lins, lp, fallback = self._decode_rows_args(
+            samples, min_row_chunks)
+        if len(fallback) == batch:
+            return self.decode_batch(samples, frame_index)
 
         out, ovf = self._decode_device_program(
-            tuple(pays), tuple(nchs), tuple(qns), tuple(lins), tuple(lp),
-            batch, frame_index)
+            pays, nchs, qns, lins, lp, batch, frame_index)
         out = np.asarray(jax.device_get(out))
         for i in np.nonzero(np.asarray(ovf))[0]:
             fallback.add(int(i))

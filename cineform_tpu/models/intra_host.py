@@ -616,17 +616,55 @@ def decode_sample(sample: bytes, dither: bool = True,
         if dither and row_draws is None:
             row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8,
                                               frame_index)
+        off = lowpass_channel_offset(c.lowpass.shape[1])
+        lp = (c.lowpass + off).astype(c.lowpass.dtype) if off else c.lowpass
         planes.append(xf.inverse_channel_to_8bit(
-            c.lowpass, wb, prescale, dither=row_draws if dither else None,
+            lp, wb, prescale, dither=row_draws if dither else None,
             dither_group=16 if ci == 0 else 8))
     return xf.pack_yuy2(*planes), s
 
 
-def decode_sample_yuv10(sample: bytes) -> list[np.ndarray]:
-    """Decode to 10-bit YUV planes [Y (H,W), Cr (H,W/2), Cb (H,W/2)]
-    (the deep-output stage: value = pre-descale v2 rounded >>1; the
-    reference adds a {0,1} dither with a different draw layout than the
-    8-bit path — ours rounds deterministically, within +-1 everywhere)."""
+def lowpass_channel_offset(lowpass_width: int, deep: bool = False,
+                           num_frames: int = 1) -> int:
+    """The reference decoder's per-channel lowpass load bias
+    (`DecodeLowPassBand`, `Codec/decoder.c:12258-12505`, precision 10),
+    expressed RELATIVE to this codebase's pinned decode models.
+
+    The reference adds `channeloffset` to every deepest-lowpass
+    coefficient as it parses the band.  For EVEN lowpass widths (the
+    16-bit fast path) the offset is format-dependent: +24 intra / +48
+    two-frame GOP for 8-bit outputs, +4 / +14 for the deep YU64/YR16/v210
+    outputs.  For ODD lowpass widths (chroma at w%32==16 frame widths,
+    e.g. 144) the generic path applies +5 intra / +10 GOP for EVERY
+    output format.  Even offsets propagate exactly through the inverse
+    pyramid's shift arithmetic, so our byte-exact 8-bit models absorb the
+    +24/+48 in their empirically pinned output-stage constants; odd
+    offsets do not, which was the long-unexplained narrow-width chroma
+    +-1.  Hence: 8-bit paths get 0 (even) or 5-24 / 10-48 (odd); deep
+    paths get the reference values verbatim."""
+    if lowpass_width % 2:
+        base = 10 if num_frames == 2 else 5
+        if deep:
+            return base
+        return base - (48 if num_frames == 2 else 24)
+    if deep:
+        return 14 if num_frames == 2 else 4
+    return 0
+
+
+def decode_sample_deep16(sample: bytes) -> list[np.ndarray]:
+    """Decode to the reference's 16-bit planar rows [Y, C1, C2].
+
+    BYTE-EXACT deep-output reconstruction, pinned against the reference's
+    16-bit planar path (`TransformInverseSpatialUniversalThreadedToRow16u`
+    + `ConvertRow16uToOutput`, `Codec/decoder.c:26359-26365`): deepest
+    lowpass + 4, standard pyramid inverse, final level = v26 vertical
+    (floor >>1) + `InvertHorizontalStrip16sToRow16u` horizontal (clamp
+    [0, 2*2^precision-1], floor >>1).  Fully deterministic — the deep
+    path draws NO rand() dither (verified: rand interposer counts zero
+    calls during YU64 decode).  C1/C2 are the sample's channel 1/2
+    exactly as the YU64 repack emits them (`ConvertPlanarYUVToYU64`,
+    `Codec/convert.c:13985`, precision-16 branch)."""
     from cineform_tpu.entropy import native as entropy_native
 
     s = parse_sample(sample)
@@ -641,47 +679,44 @@ def decode_sample_yuv10(sample: bytes) -> list[np.ndarray]:
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+        off = lowpass_channel_offset(c.lowpass.shape[1], deep=True)
+        lp = (c.lowpass + off).astype(c.lowpass.dtype)
+        ll = xf.inverse_channel_to_16s(lp, wb, prescale)
         lh, hl, hh = wb[0]
-        low = xf.v26_inverse(ll, hl).astype(np.int64)
-        high = xf.v26_inverse(lh, hh).astype(np.int64)
-        te = (low[..., :-2] - low[..., 2:] + 4) >> 3
-        to = (-low[..., :-2] + low[..., 2:] + 4) >> 3
-        h, half = low.shape
-        v2 = np.zeros((h, half * 2), np.int64)
-        v2[:, 2:-2:2] = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
-        v2[:, 3:-2:2] = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
-        t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + 4) >> 3
-        t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + 4) >> 3
-        v2[:, 0] = np.maximum(t0e + high[..., 0], 0)
-        v2[:, 1] = np.maximum(t0o - high[..., 0], 0)
-        tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + 4) >> 3
-        tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + 4) >> 3
-        v2[:, -2] = np.maximum(tke + high[..., -1], 0)
-        v2[:, -1] = np.maximum(tko - high[..., -1], 0)
-        planes.append(np.clip((v2 + 1) >> 1, 0, 1023).astype(np.int32))
+        low = xf.v26_inverse(ll, hl)
+        high = xf.v26_inverse(lh, hh)
+        planes.append(xf.h26_inverse_to_row16u(low, high, s.precision))
     return planes
+
+
+def decode_sample_yuv10(sample: bytes) -> list[np.ndarray]:
+    """10-bit view of decode_sample_deep16 (floor >>6)."""
+    return [(p >> 6).astype(np.int32) for p in decode_sample_deep16(sample)]
 
 
 def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
     """Decode to an alternate output pixel format.
 
     '2vuy' is byte-exact vs the reference decoder (a repack of the
-    byte-exact YUY2 output); 'YU64' and 'v210' are 10/16-bit deep outputs
-    within +-1 (10-bit) of the reference's dithered values."""
+    byte-exact YUY2 output); 'YU64' and 'v210' are byte-exact deep
+    outputs (see decode_sample_yuv10: the deterministic 16-bit planar
+    reconstruction + `ConvertPlanarYUVToYU64`/`ConvertPlanarYUVToV210`
+    precision-16 repack, `Codec/convert.c:13985/13526`)."""
     if fourcc == "2vuy":
         yuy2, _ = decode_sample(sample)
         a = np.frombuffer(yuy2, np.uint8).reshape(-1, 4)
         out = a[:, [1, 0, 3, 2]]
         return np.ascontiguousarray(out).tobytes()
-    y, cb, cr = decode_sample_yuv10(sample)
-    h, w = y.shape
+    y16, c116, c216 = decode_sample_deep16(sample)
+    y, cb, cr = (y16 >> 6).astype(np.int32), (c116 >> 6).astype(np.int32), \
+        (c216 >> 6).astype(np.int32)
+    h, w = y16.shape
     if fourcc == "YU64":
         row = np.empty((h, 2 * w), np.uint16)
-        row[:, 0::4] = (y[:, 0::2] << 6).astype(np.uint16)
-        row[:, 1::4] = (cb << 6).astype(np.uint16)
-        row[:, 2::4] = (y[:, 1::2] << 6).astype(np.uint16)
-        row[:, 3::4] = (cr << 6).astype(np.uint16)
+        row[:, 0::4] = y16[:, 0::2].astype(np.uint16)
+        row[:, 1::4] = c116.astype(np.uint16)
+        row[:, 2::4] = y16[:, 1::2].astype(np.uint16)
+        row[:, 3::4] = c216.astype(np.uint16)
         return row.astype("<u2").tobytes()
     if fourcc == "NV12":
         # 4:2:0 planar Y + interleaved UV: vertical chroma decimation by
@@ -738,23 +773,19 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         bgra[..., 3] = 255
         return bgra[::-1].tobytes()      # bottom-up like the BGRA input
     if fourcc == "v210":
-        # 6 pixels -> 4 words -> 12 component slots per group.  NOTE: the
-        # reference's v210 OUTPUT writer swaps Cb/Cr relative to its own
-        # v210 reader (slot 0 carries Cr), pinned against decode_fmt
-        # goldens; we reproduce that.
+        # 6 pixels -> 4 words -> 12 component slots per group
+        # (`ConvertPlanarYUVToV210`, `Codec/convert.c:13526`, the
+        # precision-16 / downshift branch).  NOTE: the reference's v210
+        # OUTPUT writer swaps Cb/Cr relative to its own v210 reader
+        # (slot 0 carries channel 2), pinned against decode_fmt goldens.
         cb, cr = cr, cb
         pitch_words = ((w + 47) // 48) * 32
         stream = np.zeros((h, pitch_words * 3), np.int64)
-        g = -(-w // 6)
-        if 6 * g != w:   # edge-pad the tail group
-            pad = 6 * g - w
-            y = np.pad(y, ((0, 0), (0, pad)), mode="edge")
-            cb = np.pad(cb, ((0, 0), (0, pad // 2)), mode="edge")
-            cr = np.pad(cr, ((0, 0), (0, pad // 2)), mode="edge")
-        sl = stream[:, :12 * g].reshape(h, g, 12)
-        yg = y[:, :6 * g].reshape(h, g, 6)
-        cbg = cb[:, :3 * g].reshape(h, g, 3)
-        crg = cr[:, :3 * g].reshape(h, g, 3)
+        gfull = w // 6
+        sl = stream[:, :12 * gfull].reshape(h, gfull, 12)
+        yg = y[:, :6 * gfull].reshape(h, gfull, 6)
+        cbg = cb[:, :3 * gfull].reshape(h, gfull, 3)
+        crg = cr[:, :3 * gfull].reshape(h, gfull, 3)
         sl[:, :, 0] = cbg[:, :, 0]
         sl[:, :, 1] = yg[:, :, 0]
         sl[:, :, 2] = crg[:, :, 0]
@@ -767,6 +798,36 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         sl[:, :, 9] = yg[:, :, 4]
         sl[:, :, 10] = crg[:, :, 2]
         sl[:, :, 11] = yg[:, :, 5]
+        if 6 * gfull != w:
+            # partial tail group: the reference's scalar loop updates its
+            # y1/y2/u/v registers only while `column + k < width`, so
+            # out-of-range slots REUSE the last assigned value (not edge
+            # replication) — convert.c:13891-13975
+            c0 = 6 * gfull
+            t = stream[:, 12 * gfull:12 * gfull + 12]
+            u = cb[:, c0 // 2].copy()
+            v = cr[:, c0 // 2].copy()
+            y1 = y[:, c0].copy()
+            y2 = y[:, c0].copy()
+            t[:, 0] = u; t[:, 1] = y1; t[:, 2] = v
+            if c0 + 1 < w:
+                y1 = y[:, c0 + 1]
+            if c0 + 2 < w:
+                u = cb[:, c0 // 2 + 1]
+                y2 = y[:, c0 + 2]
+            t[:, 3] = y1; t[:, 4] = u; t[:, 5] = y2
+            if c0 + 2 < w:
+                v = cr[:, c0 // 2 + 1]
+            if c0 + 3 < w:
+                y1 = y[:, c0 + 3]
+                u = cb[:, c0 // 2 + 2]
+            t[:, 6] = v; t[:, 7] = y1; t[:, 8] = u
+            if c0 + 4 < w:
+                y1 = y[:, c0 + 4]
+                v = cr[:, c0 // 2 + 2]
+            if c0 + 5 < w:
+                y2 = y[:, c0 + 5]
+            t[:, 9] = y1; t[:, 10] = v; t[:, 11] = y2
         words = (stream[:, 0::3] | (stream[:, 1::3] << 10)
                  | (stream[:, 2::3] << 20))
         return words.astype("<u4").tobytes()
@@ -799,7 +860,8 @@ def decode_sample_scaled(sample: bytes, resolution: int) -> bytes:
             vals, _ = entropy_native.decode_band(
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        ll = c.lowpass
+        off = lowpass_channel_offset(c.lowpass.shape[1])
+        ll = (c.lowpass + off).astype(c.lowpass.dtype) if off else c.lowpass
         shift = 6 if levels == 0 else 4
         for k in range(2, 2 - levels, -1):
             lh, hl, hh = bands[k][1], bands[k][2], bands[k][3]

@@ -341,6 +341,59 @@ def h26_inverse(low: np.ndarray, high: np.ndarray, descale: int = 1) -> np.ndarr
     return out
 
 
+def h26_inverse_to_row16u(low: np.ndarray, high: np.ndarray,
+                          precision: int = 10) -> np.ndarray:
+    """Final horizontal 2-6 inverse for the DEEP output paths, pinned
+    byte-exact against `InvertHorizontalStrip16sToRow16u`
+    (`Codec/InvertHorizontalStrip16s.c:16571`): the reconstruction sum is
+    clamped to [0, 2*2^precision-1] (the SSE protection add/sub pair)
+    and floor-divided by two — no rounding, no dither — then scaled to
+    16-bit (<< 16-precision).  This is the horizontal stage the reference
+    uses for every 16-bit planar output (YU64/v210/RG48/... via
+    `TransformInverseSpatialUniversalThreadedToRow16u`,
+    `Codec/decoder.c:26359-26365`).  Returns (H, 2*half) uint16-valued
+    int32 rows."""
+    low, high = low.astype(_I32), high.astype(_I32)
+    te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
+    even_i = te + low[..., 1:-1] + high[..., 1:-1]
+    odd_i = to + low[..., 1:-1] - high[..., 1:-1]
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + ROUNDING) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
+    even = np.concatenate([(t0e + high[..., 0])[..., None], even_i,
+                           (tke + high[..., -1])[..., None]], -1)
+    odd = np.concatenate([(t0o - high[..., 0])[..., None], odd_i,
+                          (tko - high[..., -1])[..., None]], -1)
+    lim = (2 << precision) - 1
+    shift = 16 - precision
+    h, half = low.shape
+    # SSE lanes clamp the sum to [0, lim] BEFORE >>1/<<shift (clean low
+    # bits); the scalar tail and right border shift first and clamp the
+    # 16-bit store (SATURATE_16U) — a clipped tail pixel stores 65535,
+    # not 1023<<6 (InvertHorizontalStrip16s.c:16930-16965)
+    sse_e = np.clip(even, 0, lim) >> 1 << shift
+    sse_o = np.clip(odd, 0, lim) >> 1 << shift
+    scl_e = np.clip((even >> 1) << shift, 0, 65535)
+    scl_o = np.clip((odd >> 1) << shift, 0, 65535)
+    if half >= 16:
+        post = half - (half % 8) - 16
+        tail0 = post + 7          # first scalar column
+    else:
+        tail0 = 2                 # no fast loop: scalar from col 2 on?
+    out = np.empty((h, half * 2), dtype=_I32)
+    out[:, 0::2] = sse_e
+    out[:, 1::2] = sse_o
+    out[:, 2 * tail0::2] = scl_e[:, tail0:]
+    out[:, 2 * tail0 + 1::2] = scl_o[:, tail0:]
+    # left border lanes are saturated at 10 bits before the SSE shift
+    # (even<<shift; SATURATE_16U; >>shift) — same as the SSE clamp
+    out[:, 0] = sse_e[:, 0]
+    out[:, 1] = sse_o[:, 0]
+    return out
+
+
 def v26_inverse_shifted_bottom(low: np.ndarray, high: np.ndarray) -> np.ndarray:
     """v26_inverse with the bottom border taps shifted up one row
     (5*L[-2]+4*L[-3]-L[-4] instead of L[-1..-3]): the reference's

@@ -215,26 +215,21 @@ def test_decode_output_2vuy_byte_exact():
     assert decode_sample_to(sample, "2vuy") == _golden("s_320x240_q4_p1.2vuy")
 
 
-def test_decode_output_yu64_deep():
-    """YU64 deep output: within one 10-bit step of the reference's dithered
-    16-bit output everywhere (we round deterministically)."""
+def test_decode_output_yu64_byte_exact():
+    """YU64 deep output: BYTE-EXACT vs the reference decoder (the pinned
+    deterministic 16-bit planar path: lowpass channel offset + floor
+    Row16u reconstruction + ConvertPlanarYUVToYU64 precision-16 repack)."""
     from cineform_tpu.models.intra_host import decode_sample_to
     sample = _golden("s_320x240_q4_p1.cfhd")
-    mine = np.frombuffer(decode_sample_to(sample, "YU64"), "<u2").astype(int)
-    gold = np.frombuffer(_golden("s_320x240_q4_p1.yu64out"), "<u2").astype(int)
-    assert np.abs(mine - gold).max() <= 2 << 6
-    assert (np.abs(mine - gold) <= 64).mean() > 0.995
+    assert decode_sample_to(sample, "YU64") == _golden("s_320x240_q4_p1.yu64out")
 
 
-def test_decode_output_v210_deep():
+def test_decode_output_v210_byte_exact():
+    """v210 deep output byte-exact, incl. the partial tail group's
+    stale-register reuse (`ConvertPlanarYUVToV210`, convert.c:13891)."""
     from cineform_tpu.models.intra_host import decode_sample_to
     sample = _golden("s_320x240_q4_p1.cfhd")
-    mine = np.frombuffer(decode_sample_to(sample, "v210"), "<u4")
-    gold = np.frombuffer(_golden("s_320x240_q4_p1.v210out"), "<u4")
-    mc = np.stack([mine & 1023, (mine >> 10) & 1023, (mine >> 20) & 1023]).astype(int)
-    gc = np.stack([gold & 1023, (gold >> 10) & 1023, (gold >> 20) & 1023]).astype(int)
-    d = np.abs(mc - gc)
-    assert (d <= 2).mean() > 0.995
+    assert decode_sample_to(sample, "v210") == _golden("s_320x240_q4_p1.v210out")
 
 
 def test_decoder_api_output_formats():
@@ -258,8 +253,11 @@ def test_decode_output_rg48_functional():
     mine = np.frombuffer(decode_sample_to(sample, "RG48"), "<u2").astype(int)
     gold = np.frombuffer(_golden("yu64_320x240_q4_p1.rg48out"), "<u2").astype(int)
     d = np.abs(mine - gold)
-    assert (d <= 64).mean() > 0.995
-    assert d.mean() < 32
+    # the ad-hoc matrix sits ~half a 10-bit step below the reference now
+    # that the YUV planes use the pinned floor reconstruction; the exact
+    # PlanarYUV16toPlanarRGB16 + ConvertLinesToOutput chain replaces this
+    assert (d <= 256).mean() > 0.99
+    assert d.mean() < 64
 
 
 def test_decode_output_bgra_shape():
@@ -293,3 +291,22 @@ def test_narrow_width_formats_byte_exact(sub, pf, frame_fn, w, h):
         gold = open(path, "rb").read()
     mine = _encode(pf, frame_fn(w, h, 1), w, h, _metadata_from(gold))
     assert mine == gold
+
+
+def test_decode_output_deep_narrow_width_byte_exact():
+    """Deep outputs at w%32==16 (odd chroma lowpass width): the generic
+    lowpass parse path applies channeloffset +5 instead of the fast
+    path's format-dependent value (decoder.c:12479), pinned byte-exact."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_144x96_q4_p1.cfhd")
+    assert decode_sample_to(sample, "YU64") == _golden("s_144x96_q4_p1.yu64out")
+    assert decode_sample_to(sample, "v210") == _golden("s_144x96_q4_p1.v210out")
+
+
+def test_decode_narrow_width_yuy2_byte_exact():
+    """The odd-lowpass-width channel offset also closes the last
+    narrow-width 8-bit gap: 144x96 decode is now fully byte-exact
+    (chroma included)."""
+    from cineform_tpu.models import intra_host
+    out, _ = intra_host.decode_sample(_golden("s_144x96_q4_p1.cfhd"))
+    assert out == _golden("s_144x96_q4_p1.yuy2")
