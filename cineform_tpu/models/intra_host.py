@@ -652,6 +652,20 @@ def lowpass_channel_offset(lowpass_width: int, deep: bool = False,
     return 0
 
 
+def lowpass_offset_absolute(lowpass_width: int, deep_yuv: bool,
+                            num_frames: int = 1) -> int:
+    """Absolute channeloffset values (`decoder.c:12258-12505`, precision
+    10) for reconstructions built from scratch (the 16-bit planar
+    paths): deep YUV outputs (YU64/YR16/v210) get +4/+14, every other
+    format (incl. the RGB outputs) +24/+48; odd lowpass widths always
+    +5/+10."""
+    if lowpass_width % 2:
+        return 10 if num_frames == 2 else 5
+    if deep_yuv:
+        return 14 if num_frames == 2 else 4
+    return 48 if num_frames == 2 else 24
+
+
 def decode_sample_deep16(sample: bytes) -> list[np.ndarray]:
     """Decode to the reference's 16-bit planar rows [Y, C1, C2].
 
@@ -665,6 +679,16 @@ def decode_sample_deep16(sample: bytes) -> list[np.ndarray]:
     calls during YU64 decode).  C1/C2 are the sample's channel 1/2
     exactly as the YU64 repack emits them (`ConvertPlanarYUVToYU64`,
     `Codec/convert.c:13985`, precision-16 branch)."""
+    return _decode_row16u_planes(sample, deep_yuv=True)
+
+
+def _decode_deep16_rgbbias(sample: bytes) -> list[np.ndarray]:
+    """Row16u planes with the DEFAULT lowpass offset (+24) — the values
+    the reference feeds its RGB output conversions."""
+    return _decode_row16u_planes(sample, deep_yuv=False)
+
+
+def _decode_row16u_planes(sample: bytes, deep_yuv: bool) -> list[np.ndarray]:
     from cineform_tpu.entropy import native as entropy_native
 
     s = parse_sample(sample)
@@ -679,7 +703,7 @@ def decode_sample_deep16(sample: bytes) -> list[np.ndarray]:
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
         wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        off = lowpass_channel_offset(c.lowpass.shape[1], deep=True)
+        off = lowpass_offset_absolute(c.lowpass.shape[1], deep_yuv)
         lp = (c.lowpass + off).astype(c.lowpass.dtype)
         ll = xf.inverse_channel_to_16s(lp, wb, prescale)
         lh, hl, hh = wb[0]
@@ -728,50 +752,47 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         uv[:, 0::2] = np.clip((cb2 + 2) >> 2, 0, 255).astype(np.uint8)
         uv[:, 1::2] = np.clip((cr2 + 2) >> 2, 0, 255).astype(np.uint8)
         return y8.tobytes() + uv.tobytes()
-    if fourcc in ("r210", "DPX0", "RG30", "AB10", "AR10"):
-        # packed 10-bit RGB outputs reuse the RGB 4:4:4 conversion and the
-        # per-format word layouts from unpack_rgb10
-        rgb16 = np.frombuffer(decode_sample_to(sample, "RG48"),
-                              "<u2").reshape(h, w, 3).astype(np.uint32)
-        r, g, b = (rgb16[..., i] >> 6 for i in range(3))
-        _, swap, (rs, gs, bs) = xf.RGB10_INPUT_FORMATS[fourcc]
-        word = (r << rs) | (g << gs) | (b << bs)
-        if swap:
-            word = (((word & 0xFF) << 24) | ((word & 0xFF00) << 8)
-                    | ((word >> 8) & 0xFF00) | (word >> 24))
-        return word.astype("<u4").tobytes()
-    if fourcc in ("RG48", "BGRA", "b64a"):
-        # CG_709 video-range matrix (convert.c:241-248: ymult 1.164,
-        # r_vmult 1.793, g_vmult .534, g_umult .213, b_umult 2.115) at
-        # 12-bit precision << 4, like the reference's RGB outputs.
-        # Functional: matches the reference mid-range (its extreme-chroma
-        # outputs wrap int16 intermediates); byte-exact RGB output is a
-        # round-2 item.
-        # channel order: internally [Y, V, U] (the YU64/v210 output slots
-        # labelled "U" carry channel 1 = V; the RGB matrix needs the swap)
-        # chroma is REPLICATED to 4:4:4 (no interpolation), pinned vs the
-        # reference's RG48 output of a YU64 sample
-        U = np.repeat(cr.astype(np.int64), 2, axis=1) - 512
-        V = np.repeat(cb.astype(np.int64), 2, axis=1) - 512
-        Yv = y.astype(np.int64) - 64
-        r12 = (Yv * 596 + V * 920 + 1664) >> 7
-        g12 = (Yv * 596 - V * 274 - U * 110 + 1408) >> 7
-        b12 = (Yv * 596 + U * 1080 + 1664) >> 7
-        rgb = np.stack([r12, g12, b12], axis=-1).clip(0, 4095)
+    if fourcc in ("RG48", "BGRA", "b64a", "r210", "DPX0", "RG30",
+                  "AB10", "AR10"):
+        # BYTE-EXACT RGB outputs of 4:2:2 YUV samples, pinned against the
+        # reference's deterministic chain (no rand() drawn — verified):
+        # Row16u planar reconstruction with the DEFAULT lowpass channel
+        # offset (+24, NOT the deep-YUV +4: `decoder.c:12278`), chroma
+        # REPLICATED to 4:4:4 (`ChannelYUYV16toPlanarYUV16` without
+        # COLOR_SPACE_422_TO_444), `PlanarYUV16toPlanarRGB16` fixed-point
+        # CG 709 matrix incl. TWEAK adjustments and int16 wrap quirks,
+        # then `ConvertLinesToOutput` per-format packing (bayer.c:478).
+        planes = _decode_deep16_rgbbias(sample)
+        y16, c116, c216 = planes
+        u444 = xf.chroma_422_to_444(c216, w, interpolate=False)
+        v444 = xf.chroma_422_to_444(c116, w, interpolate=False)
+        r16, g16, b16 = xf.yuv16_to_rgb16(y16, u444, v444)
         if fourcc == "RG48":
-            return (rgb << 4).astype("<u2").tobytes()
+            return np.stack([r16, g16, b16], -1).astype("<u2").tobytes()
         if fourcc == "b64a":
-            out = np.empty((h, w, 4), np.int64)
-            out[..., 0] = 4095
-            out[..., 1:] = rgb
-            return (out << 4).astype(">u2").tobytes()
-        out8 = (rgb >> 4).astype(np.uint8)
-        bgra = np.empty((h, w, 4), np.uint8)
-        bgra[..., 0] = out8[..., 2]
-        bgra[..., 1] = out8[..., 1]
-        bgra[..., 2] = out8[..., 0]
-        bgra[..., 3] = 255
-        return bgra[::-1].tobytes()      # bottom-up like the BGRA input
+            out = np.empty((h, w, 4), np.int32)
+            out[..., 0] = 0xFFFF
+            out[..., 1] = r16
+            out[..., 2] = g16
+            out[..., 3] = b16
+            return out.astype("<u2").tobytes()
+        if fourcc == "BGRA":
+            bgra = np.empty((h, w, 4), np.uint8)
+            bgra[..., 0] = (b16 >> 8).astype(np.uint8)
+            bgra[..., 1] = (g16 >> 8).astype(np.uint8)
+            bgra[..., 2] = (r16 >> 8).astype(np.uint8)
+            bgra[..., 3] = 255
+            return bgra[::-1].tobytes()  # RGB32 output rows are inverted
+        r, g, b = r16 >> 6, g16 >> 6, b16 >> 6
+        if fourcc == "AR10":
+            word = (r.astype(np.uint32) << 20) | (g << 10) | b
+        else:
+            _, swap, (rs, gs, bs) = xf.RGB10_INPUT_FORMATS[fourcc]
+            word = ((r.astype(np.uint32) << rs) | (g << gs) | (b << bs))
+            if swap:
+                word = (((word & 0xFF) << 24) | ((word & 0xFF00) << 8)
+                        | ((word >> 8) & 0xFF00) | (word >> 24))
+        return word.astype("<u4").tobytes()
     if fourcc == "v210":
         # 6 pixels -> 4 words -> 12 component slots per group
         # (`ConvertPlanarYUVToV210`, `Codec/convert.c:13526`, the

@@ -394,6 +394,92 @@ def h26_inverse_to_row16u(low: np.ndarray, high: np.ndarray,
     return out
 
 
+def chroma_422_to_444(u: np.ndarray, width: int,
+                      interpolate: bool = True) -> np.ndarray:
+    """`ChannelYUYV16toPlanarYUV16` chroma upsample
+    (`Codec/RGB2YUV.c:1308`): with COLOR_SPACE_422_TO_444 the SSE loop
+    emits even = 2*(u>>1), odd = (u[k]>>1)+(u[k+1]>>1) for the first
+    width&~15 columns; the scalar tail REPLICATES the raw chroma value
+    for both columns of each remaining pair.  u is (H, width/2) 16-bit;
+    returns (H, width)."""
+    h = u.shape[0]
+    out = np.empty((h, width), dtype=_I32)
+    u = u.astype(_I32)
+    if interpolate:
+        hs = u >> 1
+        nxt = np.concatenate([hs[:, 1:], hs[:, -1:]], axis=1)
+        out[:, 0::2] = hs * 2
+        out[:, 1::2] = hs + nxt
+        w16 = width & ~15
+        for x in range(w16, width, 2):
+            out[:, x] = u[:, x >> 1]
+            out[:, x + 1] = u[:, x >> 1]
+    else:
+        out[:, 0::2] = u
+        out[:, 1::2] = u
+    return out
+
+
+#: CG YUV->RGB multipliers at 13-bit fixed point, exactly as the
+#: reference computes them: float32 products plus the TWEAK_YUV2RGB
+#: per-coefficient adjustments (`PlanarYUV16toPlanarRGB16`,
+#: `Codec/RGB2YUV.c:40-57,1824-1846`).  Tweak order:
+#: [y_offset, ymult, r_vmult, g_vmult, g_umult, b_umult, u_off, v_off]
+def _yuv2rgb_coeffs(ry, rv, gv, gu, bu, tweak):
+    f = np.float32
+    return {
+        "y_offset": 2048 + tweak[0],
+        "ymult": int(f(8192) * f(ry)) + tweak[1],
+        "r_vmult": int(f(8192) * f(rv)) + tweak[2],
+        "g_vmult": int(f(8192) * f(gv)) + tweak[3],
+        "g_umult": int(f(8192) * f(gu)) + tweak[4],
+        "b_umult": int(f(8192) * f(bu)) + tweak[5],
+        "u_offset": (1 << 14) + tweak[6],
+        "v_offset": (1 << 14) + tweak[7],
+    }
+
+
+_YUV2RGB_CG709 = _yuv2rgb_coeffs(1.164, 1.793, 0.534, 0.213, 2.115,
+                                 (-32, 11, 6, -17, -6, 0, 22, 22))
+_YUV2RGB_CG601 = _yuv2rgb_coeffs(1.164, 1.596, 0.813, 0.391, 2.018,
+                                 (-28, 14, 6, 1, 7, 3, 23, 23))
+
+
+def yuv16_to_rgb16(y16: np.ndarray, u16: np.ndarray, v16: np.ndarray,
+                   colorspace: int = 2) -> tuple[np.ndarray, ...]:
+    """`PlanarYUV16toPlanarRGB16` (`Codec/RGB2YUV.c:1760`), pinned:
+    inputs >>1 to 15-bit, offsets subtracted, 13-bit fixed-point CG
+    matrix via mulhi (>>16 floor), <<2 to 14-bit, clamp [0,16383], <<2
+    to 16-bit.  u16 is the 4:4:4 plane fed to the U taps (the reference
+    wires channel 2 there), v16 the V taps (channel 1).  Deterministic,
+    no dither.  Returns (r16, g16, b16) int32."""
+    k = _YUV2RGB_CG601 if (colorspace & 3) == 1 else _YUV2RGB_CG709
+
+    def sat16_(x):
+        return np.clip(x, -32768, 32767)
+
+    def wrap16(x):
+        return ((x + 32768) & 0xFFFF) - 32768
+
+    y = (y16.astype(np.int64) >> 1) - k["y_offset"]
+    u = (u16.astype(np.int64) >> 1) - k["u_offset"]
+    v = (v16.astype(np.int64) >> 1) - k["v_offset"]
+    ym = (y * k["ymult"]) >> 16
+    # the SSE kernel negates the G multipliers before mulhi, so the >>16
+    # floor applies to the negated product (RGB2YUV.c:1919-1920)
+    r = sat16_(ym + ((v * k["r_vmult"]) >> 16))
+    g = sat16_(sat16_(ym + ((u * -k["g_umult"]) >> 16))
+               + ((v * -k["g_vmult"]) >> 16))
+    b = sat16_(ym + ((u * k["b_umult"]) >> 16))
+    out = []
+    for c in (r, g, b):
+        x14 = wrap16(c << 2)                     # slli_epi16 wraps
+        z = sat16_(x14 + 16384) & 0xFFFF         # adds_epi16 then as-unsigned
+        c14 = np.maximum(z - 16384, 0)           # subs_epu16
+        out.append(((c14 << 2) & 0xFFFF).astype(_I32))  # final slli wraps
+    return tuple(out)
+
+
 def v26_inverse_shifted_bottom(low: np.ndarray, high: np.ndarray) -> np.ndarray:
     """v26_inverse with the bottom border taps shifted up one row
     (5*L[-2]+4*L[-3]-L[-4] instead of L[-1..-3]): the reference's

@@ -243,21 +243,27 @@ def test_decoder_api_output_formats():
         assert out.size == nbytes, (pf, out.size)
 
 
-def test_decode_output_rg48_functional():
-    """RGB 4:4:4 output of a YUV sample: CG_709 video-range matrix at
-    12-bit with replicated chroma; within one 10-bit step of the
-    reference for >99.9% of components (byte-exact RGB out is a round-2
-    item; the reference wraps int16 intermediates at extreme chroma)."""
+def test_decode_output_rg48_byte_exact():
+    """RGB 4:4:4 output of a YUV sample: BYTE-EXACT — the pinned
+    deterministic chain (default +24 lowpass offset, replicated chroma,
+    `PlanarYUV16toPlanarRGB16` fixed-point CG709 matrix with TWEAK
+    adjustments and int16 wrap quirks, `ConvertLinesToOutput` packing)."""
     from cineform_tpu.models.intra_host import decode_sample_to
     sample = _golden("yu64_320x240_q4_p1.cfhd")
-    mine = np.frombuffer(decode_sample_to(sample, "RG48"), "<u2").astype(int)
-    gold = np.frombuffer(_golden("yu64_320x240_q4_p1.rg48out"), "<u2").astype(int)
-    d = np.abs(mine - gold)
-    # the ad-hoc matrix sits ~half a 10-bit step below the reference now
-    # that the YUV planes use the pinned floor reconstruction; the exact
-    # PlanarYUV16toPlanarRGB16 + ConvertLinesToOutput chain replaces this
-    assert (d <= 256).mean() > 0.99
-    assert d.mean() < 64
+    assert decode_sample_to(sample, "RG48") == _golden(
+        "yu64_320x240_q4_p1.rg48out")
+
+
+def test_decode_output_rgb_family_byte_exact():
+    """RG48/b64a/r210/DPX0/RG30 outputs byte-exact vs the reference
+    (bayer.c:478 ConvertLinesToOutput packing rules)."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_128x96_q4_p1.cfhd")
+    for fmt, gname in (("RG48", "rg48out"), ("b64a", "b64aout"),
+                       ("r210", "r210out"), ("DPX0", "dpx0out"),
+                       ("RG30", "rg30out")):
+        assert decode_sample_to(sample, fmt) == _golden(
+            f"s_128x96_q4_p1.{gname}"), fmt
 
 
 def test_decode_output_bgra_shape():
