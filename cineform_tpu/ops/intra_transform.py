@@ -30,6 +30,11 @@ def sat16(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(x, -32768, 32767)
 
 
+def wrap16(x: jnp.ndarray) -> jnp.ndarray:
+    """Reinterpret as int16 (C short wraparound)."""
+    return ((x + 32768) & 0xFFFF) - 32768
+
+
 def _split_even_odd(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     shp = x.shape[:-1] + (x.shape[-1] // 2, 2)
     pairs = x.reshape(shp)
@@ -251,13 +256,22 @@ def h26_inverse_to_output(low: jnp.ndarray, high: jnp.ndarray,
     bias = (1 << (total - 1)) - 1
     te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
     to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
-    v2e = jnp.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
-    v2o = jnp.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
-    if dither is not None:
-        v2e = v2e + 2 * dither[..., 0::2][..., 1:-1]
-        v2o = v2o + 2 * dither[..., 1::2][..., 1:-1]
-    even_i = (v2e + bias) >> total
-    odd_i = (v2o + bias) >> total
+
+    # exact int16 SSE lane semantics incl. the +2048 adds/subs_epu16 wrap
+    # for sums below -2048 (mirrors ref/intra.h26_inverse_to_output)
+    def _sse_lane(t, sign, d):
+        e1 = sat16(t + low[..., 1:-1] + bias)
+        x = sat16(sat16(e1 + 2048) + sign * high[..., 1:-1])
+        u = x & 0xFFFF
+        y = jnp.where(u >= 2048, u - 2048, 0)
+        s = wrap16(y) >> 1
+        t8 = sat16(s + d)
+        return jnp.clip(wrap16((t8 & 0xFFFF) >> descale_shift), 0, 255)
+
+    de = dither[..., 0::2][..., 1:-1] if dither is not None else 0
+    do = dither[..., 1::2][..., 1:-1] if dither is not None else 0
+    even_i = _sse_lane(te, +1, de)
+    odd_i = _sse_lane(to, -1, do)
     t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
     t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
     even_f = ((t0e + high[..., 0] + bias) >> total)[..., None]

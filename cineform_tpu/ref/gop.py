@@ -200,13 +200,17 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
     reference_compatible=False is our higher-fidelity extension: frame 1
     is reconstructed from its own LL ((tlow + thigh) >> 1) and w1's bands.
     """
-    # the reference's threaded group decode uses a shifted bottom border
-    # for the deepest wavelet (the last lowpass row never contributes)
+    # pyramid functions pinned against captured reference intermediates:
+    # w5 and w3 invert through InvertSpatialQuantOverflowProtected16s
+    # (stale bottom taps on the low pair, dwt2d_inverse bottom_shift);
+    # w4 through InvertSpatialQuantDescale16s (standard bottom); the
+    # temporal combine saturates BEFORE the >>1 (InvertTemporalQuant16s,
+    # temporal.c:9676: field1 = (low - high) >> 1 on int16 lanes)
     ll4 = xf.dwt2d_inverse(lowpass, *bands[5], descale=1, bottom_shift=True)
     tlow = xf.dwt2d_inverse(ll4, *bands[4], descale=2)
     ll3 = bands[3][0]
-    thigh = xf.dwt2d_inverse(ll3, *bands[3][1:], descale=1)
-    ll0 = xf.sat16((tlow.astype(np.int64) - thigh) >> 1)
+    thigh = xf.dwt2d_inverse(ll3, *bands[3][1:], descale=1, bottom_shift=True)
+    ll0 = xf.sat16(tlow.astype(np.int64) - thigh) >> 1
 
     if not progressive:
         # interlaced: w0/w1 are HORZTEMP frame wavelets
@@ -214,7 +218,7 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
         if reference_compatible:
             f1 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit)
         else:
-            ll1 = xf.sat16((tlow.astype(np.int64) + thigh) >> 1)
+            ll1 = xf.sat16(tlow.astype(np.int64) + thigh) >> 1
             f1 = frame_wavelet_inverse(ll1, *bands[1], to8bit=to8bit)
         return f0, f1
 
@@ -224,15 +228,19 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
         high = xf.v26_inverse(lh, hh)
         if not to8bit:
             return xf.h26_inverse(low, high, descale=1)
+        width = low.shape[-1] * 2
+        tail = dither_group if (dither_group
+                                and width % (2 * dither_group)
+                                == dither_group) else 0
         if dither is not None and dither.shape[-1] == 16:
-            dither = xf.decode_dither_plane(dither, low.shape[-1] * 2,
-                                            dither_group)
-        return xf.h26_inverse_to_output(low, high, 2, dither)
+            dither = xf.decode_dither_plane(dither, width, dither_group)
+        return xf.h26_inverse_to_output(low, high, 2, dither,
+                                        scalar_tail=tail)
 
     f0 = final(ll0, bands[0], dither0)
     if reference_compatible:
         f1 = final(ll0, bands[0], dither1)
     else:
-        ll1 = xf.sat16((tlow.astype(np.int64) + thigh) >> 1)
+        ll1 = xf.sat16(tlow.astype(np.int64) + thigh) >> 1
         f1 = final(ll1, bands[1], dither1)
     return f0, f1

@@ -481,11 +481,15 @@ def yuv16_to_rgb16(y16: np.ndarray, u16: np.ndarray, v16: np.ndarray,
 
 
 def v26_inverse_shifted_bottom(low: np.ndarray, high: np.ndarray) -> np.ndarray:
-    """v26_inverse with the bottom border taps shifted up one row
-    (5*L[-2]+4*L[-3]-L[-4] instead of L[-1..-3]): the reference's
-    threaded GROUP decode reconstructs the deepest wavelet's bottom strip
-    this way — the last lowpass row never contributes (pinned against the
-    reference binary with row injections; see models/gop_host.py)."""
+    """v26_inverse with the bottom border taps one row STALE
+    (5*L[-2]+4*L[-3]-L[-4] instead of L[-1..-3], highpass row -1):
+    `InvertSpatialQuantOverflowProtected16s` advances its lowpass pointer
+    once more than its border filter expects, so the last lowpass row
+    never contributes (`Codec/spatial.c:21114+690`, pointer walk pinned
+    against captured intermediates).  Only the (lowlow, highlow) vertical
+    pair is affected — the (lowhigh, highhigh) side reads a rotating line
+    buffer that DOES hold the true last rows, so dwt2d_inverse applies
+    this to the `low` half only."""
     out = v26_inverse(low, high)
     low, high = low.astype(_I32), high.astype(_I32)
     tke = (5 * low[-2] + 4 * low[-3] - low[-4] + ROUNDING) >> 3
@@ -497,16 +501,22 @@ def v26_inverse_shifted_bottom(low: np.ndarray, high: np.ndarray) -> np.ndarray:
 
 def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1,
                   bottom_shift: bool = False) -> np.ndarray:
-    """One 2D production inverse level: vertical then horizontal."""
+    """One 2D production inverse level: vertical then horizontal.
+
+    bottom_shift=True replicates `InvertSpatialQuantOverflowProtected16s`
+    (the GOP w5/w3 pyramid inverse): stale bottom taps on the (ll, hl)
+    pair ONLY; the (lh, hh) side keeps the standard border.  The default
+    matches `InvertSpatialQuantDescale16s` / `InvertSpatialQuant16s`."""
     v26 = v26_inverse_shifted_bottom if bottom_shift else v26_inverse
     low = v26(ll, hl)
-    high = v26(lh, hh)
+    high = v26_inverse(lh, hh)
     return h26_inverse(low, high, descale)
 
 
 def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
                           descale_shift: int = 2,
-                          dither: np.ndarray | None = None) -> np.ndarray:
+                          dither: np.ndarray | None = None,
+                          scalar_tail: int = 0) -> np.ndarray:
     """Final horizontal inverse fused with conversion to 8-bit output.
 
     Contract: `InvertHorizontalStrip16sToYUYV`
@@ -523,16 +533,43 @@ def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
     low, high = low.astype(_I32), high.astype(_I32)
     te = (low[..., :-2] - low[..., 2:] + ROUNDING) >> 3
     to = (-low[..., :-2] + low[..., 2:] + ROUNDING) >> 3
-    v2e = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
-    v2o = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
     total = descale_shift + 1
     bias = (1 << (total - 1)) - 1  # 3 for the 10-bit path (total >> 3)
-    if dither is not None:
-        even_i = (v2e + bias + 2 * dither[..., 0::2][..., 1:-1]) >> total
-        odd_i = (v2o + bias + 2 * dither[..., 1::2][..., 1:-1]) >> total
-    else:
-        even_i = (v2e + bias) >> total
-        odd_i = (v2o + bias) >> total
+    # Interior SSE lanes, exact int16 semantics (pinned against the
+    # kernel driven directly with srand(1) dither): the "+bias" is the
+    # exactly-propagated lowpass channeloffset riding in the coefficient
+    # data; clamping-at-zero happens via the +2048 adds_epi16 /
+    # subs_epu16 pair, which WRAPS for sums below -2048 (emitting bright
+    # pixels where a plain max() would emit 0); the final +dither uses
+    # saturating adds and a LOGICAL >>2 on the int16 lane.
+    de = dither[..., 0::2][..., 1:-1] if dither is not None else 0
+    do = dither[..., 1::2][..., 1:-1] if dither is not None else 0
+
+    def _sse_lane(t, h_, sign, d):
+        e1 = sat16(t + low[..., 1:-1] + bias)
+        x = sat16(sat16(e1 + 2048) + sign * h_)
+        u = x & 0xFFFF
+        y = np.where(u >= 2048, u - 2048, 0)
+        s = wrap16(y) >> 1
+        t8 = sat16(s + d)
+        return np.clip(wrap16((t8 & 0xFFFF) >> descale_shift), 0, 255)
+
+    even_i = _sse_lane(te, high[..., 1:-1], +1, de)
+    odd_i = _sse_lane(to, high[..., 1:-1], -1, do)
+    if scalar_tail:
+        # the reference's end-of-row scalar loop: plain int arithmetic,
+        # no dither, no wrap quirks (InvertHorizontalStrip16s.c:4680+)
+        v2e = np.maximum(te + low[..., 1:-1] + high[..., 1:-1], 0)
+        v2o = np.maximum(to + low[..., 1:-1] - high[..., 1:-1], 0)
+        se = (v2e + bias) >> total
+        so = (v2o + bias) >> total
+        # the scalar region spans the last `scalar_tail` output columns;
+        # its final pair is the right border (handled below), leaving
+        # scalar_tail/2 - 1 interior pairs to overwrite
+        n = scalar_tail // 2 - 1
+        if n > 0:
+            even_i[..., -n:] = se[..., -n:]
+            odd_i[..., -n:] = so[..., -n:]
     t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + ROUNDING) >> 3
     t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + ROUNDING) >> 3
     even_f = (t0e + high[..., 0] + bias) >> total
@@ -541,8 +578,10 @@ def h26_inverse_to_output(low: np.ndarray, high: np.ndarray,
     tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + ROUNDING) >> 3
     even_l = (tke + high[..., -1] + bias) >> total
     odd_l = (tko - high[..., -1] + bias) >> total
-    even = np.concatenate([even_f[..., None], even_i, even_l[..., None]], -1)
-    odd = np.concatenate([odd_f[..., None], odd_i, odd_l[..., None]], -1)
+    even = np.concatenate([np.clip(even_f, 0, 255)[..., None], even_i,
+                           np.clip(even_l, 0, 255)[..., None]], -1)
+    odd = np.concatenate([np.clip(odd_f, 0, 255)[..., None], odd_i,
+                          np.clip(odd_l, 0, 255)[..., None]], -1)
     h, half = low.shape
     out = np.empty((h, half * 2), dtype=_I32)
     out[:, 0::2] = even
@@ -641,9 +680,14 @@ def inverse_channel_to_8bit(lowpass, bands, prescale, descale_shift=2,
     lh, hl, hh = bands[0]
     low = v26_inverse(ll, hl)
     high = v26_inverse(lh, hh)
+    width = low.shape[-1] * 2
+    tail = dither_group if (dither_group
+                            and width % (2 * dither_group) == dither_group) \
+        else 0
     if dither is not None and dither.shape[-1] == 16:
-        dither = decode_dither_plane(dither, low.shape[-1] * 2, dither_group)
-    return h26_inverse_to_output(low, high, descale_shift, dither)
+        dither = decode_dither_plane(dither, width, dither_group)
+    return h26_inverse_to_output(low, high, descale_shift, dither,
+                                 scalar_tail=tail)
 
 
 def dequant_band(codes: np.ndarray, q: int, flags: int = 4) -> np.ndarray:
