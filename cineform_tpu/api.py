@@ -189,6 +189,8 @@ class Encoder:
         self._prepared = False
         self._sample: bytes | None = None
         self._frame_number = 0
+        self._fs_limiter = None
+        self._custom_quant = None
         self._metadata = None
 
     # CFHD_GetInputFormats
@@ -290,6 +292,17 @@ class Encoder:
             return None
 
     # CFHD_EncodeSample
+    def set_custom_quantization(self, quant_y, quant_c=None) -> None:
+        """Custom per-subband quantization override (the low-level codec
+        API's custom_quant struct, `Codec/encoder.c:1143`): 17-entry
+        luma/chroma tables replace the quality presets; the reference's
+        precision scaling and gop-length remap apply on top
+        (spec.production.custom_quant_tables, oracle-validated)."""
+        from cineform_tpu.spec.production import custom_quant_tables
+        self._custom_quant = custom_quant_tables(
+            list(quant_y), list(quant_c if quant_c is not None else quant_y),
+            10, gop_length=1)
+
     def encode_sample(self, frame: bytes | np.ndarray, pitch: int | None = None) -> None:
         from cineform_tpu.models import intra_host
         from cineform_tpu.ref import intra as xf
@@ -319,6 +332,17 @@ class Encoder:
         if buf.size != self.height * row_bytes:
             raise CFHDError(ErrorCode.INVALID_ARGUMENT, "bad frame size")
         self._frame_number += 1
+        # FILMSCAN2/3 rate control (`QuantizationSetQuality`,
+        # quantize.c:236-310): the limiter advances each frame from the
+        # previous sample's achieved compression
+        if (int(self.quality) & 0xFF) >= 5 and not (self.quality_word & 0x1F00):
+            from cineform_tpu.spec.production import update_fs_rate_limiter
+            if self._fs_limiter is None:
+                self._fs_limiter = {5: 8, 6: 4}.get(int(self.quality) & 0xFF, 0)
+            if self._sample is not None:
+                self._fs_limiter = update_fs_rate_limiter(
+                    self._fs_limiter, self.quality_word, len(self._sample),
+                    self.width, self.height)
         # per-frame metadata: the reference auto-increments UFRM and the
         # timecode on every EncodeSample (`SampleEncoder.cpp:795-880`)
         base_meta = self._metadata or intra_host.EncoderMetadata()
@@ -384,14 +408,20 @@ class Encoder:
                 self._sample = intra_host.encode_sample_planes(
                     [y, v, u], self.width, self.height, int(self.quality),
                     input_format=self._INPUT_FORMAT_CODES[PixelFormat.YUY2],
-                    frame_number=self._frame_number, metadata=frame_meta)
+                    frame_number=self._frame_number, metadata=frame_meta,
+                    fs_rate_limiter=self._fs_limiter)
             else:
-                sample = self._encode_device(buf)
+                default_limiter = {5: 8, 6: 4}.get(int(self.quality) & 0xFF)
+                sample = (self._encode_device(buf)
+                          if self._fs_limiter in (None, default_limiter)
+                          and self._custom_quant is None else None)
                 self._sample = sample if sample is not None else \
                     intra_host.encode_sample(
                         buf.tobytes(), self.width, self.height,
                         int(self.quality), frame_number=self._frame_number,
-                        metadata=frame_meta)
+                        metadata=frame_meta,
+                        fs_rate_limiter=self._fs_limiter,
+                        custom_quant=self._custom_quant)
         else:
             quality = int(self.quality)
             quality_tag = None
@@ -428,7 +458,8 @@ class Encoder:
                 planes, self.width, self.height, quality,
                 input_format=self._INPUT_FORMAT_CODES[self.pixel_format],
                 frame_number=self._frame_number, metadata=frame_meta,
-                quality_tag=quality_tag)
+                quality_tag=quality_tag,
+                fs_rate_limiter=self._fs_limiter)
         # every non-uncompressed branch reaches here: the codec state
         # (prescale table) is initialized by the first compressed frame
         self._compressed_encoded = True

@@ -387,9 +387,18 @@ def uncompressed_decision(frame_head_u32: int, metadata_block: bytes,
 
 def encode_sample(frame_yuy2: bytes, width: int, height: int, quality: int,
                   frame_number: int = 1,
-                  metadata: EncoderMetadata | None = None) -> bytes:
-    """Encode one YUY2 frame to a CFHD intra sample (the host oracle path)."""
-    params = IntraParams(width=width, height=height, quality=quality)
+                  metadata: EncoderMetadata | None = None,
+                  fs_rate_limiter: int | None = None,
+                  custom_quant: tuple | None = None) -> bytes:
+    """Encode one YUY2 frame to a CFHD intra sample (the host oracle path).
+
+    fs_rate_limiter: FILMSCAN2/3 rate-control state (see
+    spec.production.update_fs_rate_limiter); None = first-frame default.
+    custom_quant: (luma17, chroma17) override tables
+    (spec.production.custom_quant_tables)."""
+    params = IntraParams(width=width, height=height, quality=quality,
+                         fs_rate_limiter=fs_rate_limiter,
+                         custom_quant=custom_quant)
     planes = xf.unpack_yuy2(frame_yuy2, width, height, params.precision)
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
     return write_sample(channels, params, frame_number, metadata)
@@ -399,14 +408,16 @@ def encode_sample_planes(planes: list[np.ndarray], width: int, height: int,
                          quality: int, input_format: int,
                          frame_number: int = 1,
                          metadata: EncoderMetadata | None = None,
-                         quality_tag: int | None = None) -> bytes:
+                         quality_tag: int | None = None,
+                         fs_rate_limiter: int | None = None) -> bytes:
     """Encode pre-unpacked 10-bit [Y, C1, C2] planes (v210/YU64 front ends).
 
     quality_tag: value written into QUALITY_L when it differs from the
     quantization tables actually used (the reference's uncompressed
     fallback labels samples quality 6 but quantizes with the q5 tables;
     `Codec/encoder.c:2022-2026`, pinned against series goldens)."""
-    params = IntraParams(width=width, height=height, quality=quality)
+    params = IntraParams(width=width, height=height, quality=quality,
+                         fs_rate_limiter=fs_rate_limiter)
     channels = [transform_channel(p, params, ch) for ch, p in enumerate(planes)]
     sample = write_sample(channels, params, frame_number, metadata,
                           input_format=input_format)

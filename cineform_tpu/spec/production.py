@@ -129,10 +129,100 @@ def spatial_band_scales(num_spatial: int = 2) -> list[list[int]]:
     return scales
 
 
+def update_fs_rate_limiter(limiter: int, quality: int,
+                           last_sample_bytes: int, width: int, height: int,
+                           num_channels: int = 3, precision_bits: int = 10,
+                           chroma_full_res: bool = False) -> int:
+    """Per-frame FILMSCAN rate-control feedback (`QuantizationSetQuality`,
+    `Codec/quantize.c:236-310`): the FSratelimiter walks up/down from the
+    achieved compression ratio of the PREVIOUS sample, moving the
+    subband-8..16 quantizer scale (16 + 2*limiter, see quality_tables).
+    quality is the raw CFHD quality word; only FILMSCAN2/3 (5/6) adapt.
+    Returns the updated limiter, clamped to [0, 20]."""
+    new_quality = quality & 0xFF
+    if new_quality < 5 or not last_sample_bytes or (quality & 0x1F00):
+        return limiter
+    raw = width * height * num_channels * precision_bits / 8.0
+    compression = raw / float(last_sample_bytes)
+    if not chroma_full_res:
+        compression /= 1.5
+    if new_quality == 5:      # FILMSCAN2: target 4.0-5.5:1
+        if compression > 5.5:
+            limiter -= 1
+            if compression > 6.5:
+                limiter -= 1
+            if compression > 7.5:
+                limiter -= 2
+        elif compression < 4.0:
+            limiter += 1
+            if compression < 3.5:
+                limiter += 1
+            if compression < 3.0:
+                limiter += 1
+            if compression < 2.5:
+                limiter += 1
+            if compression < 2.0:
+                limiter += 1
+            if compression < 1.5:
+                limiter += 2
+    else:                     # FILMSCAN3 (and higher): target 3.0-4.5:1
+        if compression > 4.5:
+            limiter -= 1
+            if compression > 5.5:
+                limiter -= 1
+            if compression > 6.5:
+                limiter -= 2
+        elif compression < 3.0:
+            limiter += 1
+            if compression < 2.5:
+                limiter += 1
+            if compression < 2.0:
+                limiter += 1
+            if compression < 1.5:
+                limiter += 2
+    return max(0, min(limiter, 20))
+
+
+def custom_quant_tables(quant_y, quant_c, precision: int,
+                        gop_length: int = 1,
+                        chroma_full_res: bool = False,
+                        rgb_quality: int = 0) -> tuple[list[int], list[int]]:
+    """Custom quantization override (`SetEncoderQuantization`,
+    `Codec/encoder.c:1143-1225`, custom_quant magic 0x12345678): the
+    caller's 17-entry tables replace the quality presets (newQuality=7),
+    then receive the same precision scaling as the presets — subband 7
+    forced to 4 (lossless TLL), subbands >8 scaled x4 at 10-bit, the
+    12-bit RGB gains, and the gop_length==1 remap of subbands 7..9 from
+    11..13.  Validated against the reference function driven directly."""
+    luma = list(quant_y)
+    chroma = list(quant_y if chroma_full_res else quant_c)
+    if precision >= tags.PRECISION_10BIT:
+        for i in range(17):
+            if i == 7:
+                luma[i] = chroma[i] = 4
+            elif i > 8:
+                luma[i] *= 4
+                chroma[i] *= 4
+    if precision == tags.PRECISION_12BIT:
+        chromagain = {0: 8, 1: 6, 2: 4, 3: 4}[min(rgb_quality, 3)]
+        for i in range(4, 7):
+            luma[i] *= 4
+            chroma[i] *= 4
+        for i in range(11, 17):
+            luma[i] *= 4
+            chroma[i] *= chromagain
+    if gop_length == 1:
+        for i in range(7, 10):
+            luma[i] = luma[i + 4]
+            chroma[i] = chroma[i + 4]
+    return luma, chroma
+
+
 def intra_band_quant(quality: int, precision: int, channel: int,
                      num_spatial: int = 2,
                      chroma_full_res: bool = False,
-                     rgb_quality: int = 0) -> list[tuple[int, int, int]]:
+                     rgb_quality: int = 0,
+                     fs_rate_limiter: int | None = None) -> list[tuple[int, int, int]]:
     """Per-wavelet (q_lh, q_hl, q_hh) quantizers for the intra transform,
     wavelet index 0 (finest, the frame wavelet) first.
 
@@ -145,7 +235,8 @@ def intra_band_quant(quality: int, precision: int, channel: int,
     """
     luma, chroma = quality_tables(quality, precision,
                                   chroma_full_res=chroma_full_res,
-                                  rgb_quality=rgb_quality)
+                                  rgb_quality=rgb_quality,
+                                  fs_rate_limiter=fs_rate_limiter)
     table = chroma if channel > 0 else luma
     scales = spatial_band_scales(num_spatial)
 
@@ -195,15 +286,33 @@ class IntraParams:
     num_spatial: int = 2
     chroma_full_res: bool = False
     rgb_quality: int = 0
+    #: FILMSCAN2/3 rate-control state (None = first-frame default);
+    #: advance per frame with update_fs_rate_limiter
+    fs_rate_limiter: int | None = None
+    #: custom quantization override: (luma17, chroma17) as produced by
+    #: custom_quant_tables; replaces the quality-derived tables
+    custom_quant: tuple | None = None
 
     @property
     def num_wavelets(self) -> int:
         return self.num_spatial + 1
 
     def band_quant(self, channel: int) -> list[tuple[int, int, int]]:
+        if self.custom_quant is not None:
+            table = self.custom_quant[1 if channel > 0 else 0]
+            scales = spatial_band_scales(self.num_spatial)
+            out = [None] * (self.num_spatial + 1)
+            subband = 1
+            for k in range(self.num_spatial, 0, -1):
+                s = scales[k]
+                out[k] = tuple((table[subband + b] * s[1 + b])
+                               >> QUANT_SCALE_FACTOR for b in range(3))
+                subband += 3
+            out[0] = tuple(table[subband + b] for b in range(3))
+            return out
         return intra_band_quant(self.quality, self.precision, channel,
                                 self.num_spatial, self.chroma_full_res,
-                                self.rgb_quality)
+                                self.rgb_quality, self.fs_rate_limiter)
 
     @property
     def prescale(self) -> list[int]:

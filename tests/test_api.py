@@ -239,3 +239,36 @@ def test_decode_half_resolution_byte_exact():
     sample = _golden("s_320x240_q4_p1.cfhd")
     gold = _golden("s_320x240_q4_p1.half.yuy2")
     assert decode_sample_scaled(sample, 2) == gold
+
+
+def test_custom_quantization_override():
+    """set_custom_quantization: the low-level codec API's custom_quant
+    struct (`Codec/encoder.c:1143`): custom tables replace the quality
+    presets with the reference's precision scaling applied on top
+    (oracle-validated in spec.production.custom_quant_tables); coarser
+    tables must shrink the sample and still roundtrip."""
+    import numpy as np
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    frame = yuy2_frame(320, 240, 3)
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.YUY2)
+    enc.encode_sample(frame)
+    base = enc.get_sample_data()
+
+    enc2 = api.Encoder()
+    enc2.prepare_to_encode(320, 240, api.PixelFormat.YUY2)
+    coarse = [4] + [12] * 16
+    enc2.set_custom_quantization(coarse)
+    enc2.encode_sample(frame)
+    small = enc2.get_sample_data()
+    assert len(small) < len(base) * 0.8
+
+    dec = api.Decoder()
+    dec.prepare_to_decode(0, 0, api.PixelFormat.YUY2, sample=small)
+    out = dec.decode_sample(small)
+    a = np.frombuffer(frame, np.uint8).astype(float)
+    b = np.frombuffer(out.tobytes() if hasattr(out, "tobytes") else out,
+                      np.uint8).astype(float)
+    psnr = 10 * np.log10(255 ** 2 / np.mean((a - b) ** 2))
+    assert psnr > 30, psnr

@@ -79,17 +79,8 @@ def test_decode_byte_exact(name, w, h, q, p):
     gold_yuv = _golden(name, "yuy2")
     out, parsed = intra_host.decode_sample(_golden(name, "cfhd"))
     assert parsed.width == w and parsed.height == h
-    if w % 32 == 16:
-        # at w%32==16 widths the luma plane is byte-exact (the fast
-        # loop's undithered scalar tail is replicated, see
-        # ref/intra.decode_dither_plane); the chroma plane still shows
-        # a diffuse +/-1 from an unpinned reference chroma path at
-        # these widths (known gap, STATUS.md)
-        a = np.frombuffer(out, np.uint8).astype(int)
-        b = np.frombuffer(gold_yuv, np.uint8).astype(int)
-        assert np.array_equal(a[0::2], b[0::2])      # luma byte-exact
-        assert np.abs(a[1::2] - b[1::2]).max() <= 1  # chroma within 1
-        return
+    # byte-exact at every width, including w%32==16 (odd chroma lowpass
+    # widths take the +5 channel-offset parse path, decoder.c:12479)
     assert out == gold_yuv
 
 
@@ -129,3 +120,24 @@ def test_roundtrip_own_sample():
     assert psnr > 40.0, psnr
     # constant-quality design: intra FILMSCAN1 compresses this pattern > 2:1
     assert len(sample) < len(raw) / 2
+
+
+def test_filmscan_rate_control_series_byte_exact():
+    """FILMSCAN2/3 VBR: the FSratelimiter walks from the previous frame's
+    achieved compression (`QuantizationSetQuality`, quantize.c:236-310),
+    rescaling subbands 8-16 per frame.  Byte-exact vs a reference-encoded
+    4-frame series at both qualities (the dense test frames drive the
+    limiter from 8->19 / 4->10)."""
+    from cineform_tpu import api
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    for q, base in ((5, "fs2_320x240"), (6, "fs3_320x240")):
+        gold0 = _golden(base, "cfhd.f0")
+        enc = api.Encoder()
+        enc.prepare_to_encode(320, 240, api.PixelFormat.YUY2,
+                              quality=api.EncodingQuality(q))
+        enc.attach_metadata(_metadata_from(gold0))
+        for f in range(4):
+            enc.encode_sample(yuy2_frame(320, 240, f + 1))
+            assert enc.get_sample_data() == _golden(base, f"cfhd.f{f}"), \
+                (q, f)
