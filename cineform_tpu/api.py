@@ -590,21 +590,35 @@ class Decoder:
                 if self.resolution != DecodedResolution.FULL:
                     raise CFHDError(ErrorCode.BADFORMAT,
                                     "scaled GOP decode is not supported")
-                if self.output_format not in (PixelFormat.YUY2,
-                                              PixelFormat.UYVY):
-                    raise CFHDError(ErrorCode.BADFORMAT,
-                                    f"GOP decode to {self.output_format!r}")
-                key = hashlib.sha256(sample).digest()
-                if getattr(self, "_gop_cache", None) is None or \
-                        self._gop_cache[0] != key:
-                    f0, f1 = gop_host.decode_group(sample)
-                    self._gop_cache = (key, f0, f1, 0)
-                key, f0, f1, idx = self._gop_cache
-                out = f0 if idx == 0 else f1
-                self._gop_cache = (key, f0, f1, 1 - idx)
-                if self.output_format == PixelFormat.UYVY:
-                    a = np.frombuffer(out, np.uint8).reshape(-1, 4)
-                    out = np.ascontiguousarray(a[:, [1, 0, 3, 2]]).tobytes()
+                if self.output_format in (PixelFormat.YUY2,
+                                          PixelFormat.UYVY):
+                    key = hashlib.sha256(sample).digest()
+                    if getattr(self, "_gop_cache", None) is None or \
+                            self._gop_cache[0] != key:
+                        f0, f1 = gop_host.decode_group(sample)
+                        self._gop_cache = (key, f0, f1, 0)
+                    key, f0, f1, idx = self._gop_cache
+                    out = f0 if idx == 0 else f1
+                    self._gop_cache = (key, f0, f1, 1 - idx)
+                    if self.output_format == PixelFormat.UYVY:
+                        a = np.frombuffer(out, np.uint8).reshape(-1, 4)
+                        out = np.ascontiguousarray(
+                            a[:, [1, 0, 3, 2]]).tobytes()
+                else:
+                    fourcc = {PixelFormat.YU64: "YU64",
+                              PixelFormat.V210: "v210",
+                              PixelFormat.RG48: "RG48",
+                              PixelFormat.BGRA: "BGRA",
+                              PixelFormat.B64A: "b64a",
+                              PixelFormat.R210: "r210",
+                              PixelFormat.DPX0: "DPX0",
+                              PixelFormat.RG30: "RG30"}.get(
+                                  self.output_format)
+                    if fourcc is None:
+                        raise CFHDError(
+                            ErrorCode.BADFORMAT,
+                            f"GOP decode to {self.output_format!r}")
+                    out = gop_host.decode_group_to(sample, fourcc)
             elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))

@@ -742,7 +742,19 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         a = np.frombuffer(yuy2, np.uint8).reshape(-1, 4)
         out = a[:, [1, 0, 3, 2]]
         return np.ascontiguousarray(out).tobytes()
-    y16, c116, c216 = decode_sample_deep16(sample)
+    return pack_deep_output(fourcc, decode_sample_deep16(sample),
+                            lambda: _decode_deep16_rgbbias(sample))
+
+
+def pack_deep_output(fourcc: str, planes_yuv: list[np.ndarray],
+                     planes_rgb_fn) -> bytes:
+    """Pack 16-bit planar reconstructions into the deep output formats
+    (shared by the intra and GOP deep decode paths).
+
+    planes_yuv: Row16u planes with the deep-YUV lowpass offset (for
+    YU64/v210/NV12); planes_rgb_fn: lazy planes with the DEFAULT offset
+    (for the RGB family — `decoder.c:12278` brackets)."""
+    y16, c116, c216 = planes_yuv
     y, cb, cr = (y16 >> 6).astype(np.int32), (c116 >> 6).astype(np.int32), \
         (c216 >> 6).astype(np.int32)
     h, w = y16.shape
@@ -773,7 +785,7 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         # COLOR_SPACE_422_TO_444), `PlanarYUV16toPlanarRGB16` fixed-point
         # CG 709 matrix incl. TWEAK adjustments and int16 wrap quirks,
         # then `ConvertLinesToOutput` per-format packing (bayer.c:478).
-        planes = _decode_deep16_rgbbias(sample)
+        planes = planes_rgb_fn()
         y16, c116, c216 = planes
         u444 = xf.chroma_422_to_444(c216, w, interpolate=False)
         v444 = xf.chroma_422_to_444(c116, w, interpolate=False)

@@ -170,10 +170,19 @@ def test_decoder_gop_output_format_and_resolution_contract():
         dec3.decode_sample(gold_grp)
     assert ei.value.code == api.ErrorCode.BADFORMAT
 
+    # deep outputs are now supported for GROUP samples (byte-exact, see
+    # test_gop.test_gop_deep_outputs_byte_exact); unsupported formats
+    # still raise
     dec4 = api.CFHD_OpenDecoder()
     dec4.prepare_to_decode(320, 240, api.PixelFormat.RG48, sample=gold_grp)
+    rg48 = dec4.decode_sample(gold_grp)
+    assert len(rg48.tobytes() if hasattr(rg48, "tobytes") else rg48) == \
+        320 * 240 * 6
+
+    dec5 = api.CFHD_OpenDecoder()
+    dec5.prepare_to_decode(320, 240, api.PixelFormat.NV12, sample=gold_grp)
     with pytest.raises(api.CFHDError) as ei:
-        dec4.decode_sample(gold_grp)
+        dec5.decode_sample(gold_grp)
     assert ei.value.code == api.ErrorCode.BADFORMAT
 
 

@@ -256,3 +256,14 @@ def test_interlaced_gop_roundtrip():
     b = np.frombuffer(d0, np.uint8).astype(float)
     psnr = 10 * np.log10(255 ** 2 / max(np.mean((a - b) ** 2), 1e-9))
     assert psnr > 25, psnr
+
+
+def test_gop_deep_outputs_byte_exact():
+    """GROUP samples decode to the deep output formats byte-exact: the
+    same Row16u reconstruction with the num_frames=2 lowpass channel
+    offsets (+14 deep YUV / +48 RGB, decoder.c:12276-12281)."""
+    grp = _golden("gop_320x240_q4_p1.cfhd.f1")
+    assert gop_host.decode_group_to(grp, "YU64") == \
+        _golden("gop_320x240_q4_p1.yu64out")
+    assert gop_host.decode_group_to(grp, "RG48") == \
+        _golden("gop_320x240_q4_p1.rg48out")
