@@ -550,15 +550,23 @@ class Decoder:
         """Select the video channel(s) of stereo 3D samples: 1 = left,
         2 = right (`Codec/decoder.c:10310-10340` channel_mask).
 
-        Mask 3 (both eyes) requires a stereo output mode; single-image
-        decode supports one eye at a time, so masks other than 1/2 are
-        rejected rather than silently decoding mono."""
-        if int(mask) not in (1, 2):
+        Mask 3 (both eyes) composites the eyes per the channel blend
+        mode (set_channel_blend; default stacked anamorphic like the
+        reference's 3D display default)."""
+        if int(mask) not in (1, 2, 3):
             raise CFHDError(
                 ErrorCode.INVALID_ARGUMENT,
-                f"channel mask {mask}: single-eye decode supports 1 "
-                "(left) or 2 (right); use decode_3d for both eyes")
+                f"channel mask {mask}: supported masks are 1 (left), "
+                "2 (right), 3 (both eyes composited)")
         self._channels_active = int(mask)
+
+    # CFHD_SetActiveMetadata(TAG_BLEND_TYPE) analog
+    def set_channel_blend(self, mode: int) -> None:
+        """3D display compositing for mask-3 decodes (`Do3DWork`,
+        `Codec/bayer.c:10761`; modes `Codec/codec.h:1261-1278`):
+        stacked/side-by-side anamorphic, line interleaved, onion,
+        difference, freeview, anaglyph RC/AB/GM (+BW variants)."""
+        self._channel_blend = int(mode)
 
     # CFHD_DecodeSample
     def decode_sample(self, sample: bytes) -> np.ndarray:
@@ -574,6 +582,26 @@ class Decoder:
                 from cineform_tpu.models import stereo
                 eyes = stereo.split_3d(sample)
                 mask = getattr(self, "_channels_active", 1)
+                if mask == 3 and len(eyes) > 1:
+                    if self.output_format not in (PixelFormat.YUY2,
+                                                  PixelFormat.BGRA):
+                        raise CFHDError(
+                            ErrorCode.BADFORMAT,
+                            "3D composite decode outputs YUY2 (geometric "
+                            "modes) or BGRA (anaglyph modes)")
+                    blend = getattr(self, "_channel_blend",
+                                    stereo.BLEND_STACKED_ANAMORPHIC)
+                    l, _ = intra_host.decode_sample(eyes[0])
+                    r, _ = intra_host.decode_sample(eyes[1], frame_index=1)
+                    out, fmt = stereo.blend_eyes(l, r, info0.width,
+                                                 info0.height, blend)
+                    want = "BGRA" if self.output_format == PixelFormat.BGRA                         else "YUY2"
+                    if fmt != want:
+                        raise CFHDError(
+                            ErrorCode.BADFORMAT,
+                            f"blend mode {blend} produces {fmt}; prepare "
+                            f"with that output format")
+                    return np.frombuffer(out, np.uint8)
                 sample = eyes[1] if mask == 2 and len(eyes) > 1 else eyes[0]
         except CFHDError:
             raise

@@ -59,3 +59,120 @@ def decode_sample_3d(sample: bytes, eye: int = 0,
         raise ValueError(f"sample has {len(eyes)} video channels")
     out, _info = intra_host.decode_sample(eyes[eye], dither=dither)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 3D blend modes (`Do3DWork` / `ProcessLine3D`, `Codec/bayer.c:10761`;
+# mode enum `Codec/codec.h:1261-1278`)
+# ---------------------------------------------------------------------------
+
+BLEND_NONE = 0
+BLEND_STACKED_ANAMORPHIC = 1     # half height, left on top
+BLEND_SIDEBYSIDE_ANAMORPHIC = 2  # half width, left on the left
+BLEND_LINE_INTERLEAVED = 3
+BLEND_ONION = 4                  # 50/50 mix
+BLEND_DIFFERENCE = 5             # |L-R| around mid grey
+BLEND_FREEVIEW = 7               # side-by-side for cross-eyed viewing
+BLEND_ANAGLYPH_RC = 16           # red/cyan
+BLEND_ANAGLYPH_RC_BW = 17
+BLEND_ANAGLYPH_AB = 18           # amber/blue
+BLEND_ANAGLYPH_AB_BW = 19
+BLEND_ANAGLYPH_GM = 20           # green/magenta
+BLEND_ANAGLYPH_GM_BW = 21
+
+
+def _yuy2_planes(raw: bytes, width: int, height: int):
+    a = np.frombuffer(raw, np.uint8).reshape(height, width // 2, 4).astype(
+        np.int32)
+    y = np.empty((height, width), np.int32)
+    y[:, 0::2] = a[:, :, 0]
+    y[:, 1::2] = a[:, :, 2]
+    return y, a[:, :, 1], a[:, :, 3]     # Y, U, V
+
+
+def _pack_yuy2(y, u, v) -> bytes:
+    h, w = y.shape
+    out = np.empty((h, w // 2, 4), np.uint8)
+    out[:, :, 0] = np.clip(y[:, 0::2], 0, 255)
+    out[:, :, 2] = np.clip(y[:, 1::2], 0, 255)
+    out[:, :, 1] = np.clip(u, 0, 255)
+    out[:, :, 3] = np.clip(v, 0, 255)
+    return out.tobytes()
+
+
+def _yuy2_to_rgb(raw: bytes, width: int, height: int):
+    """8-bit CG709 conversion (the blend paths run at display precision)."""
+    y, u, v = _yuy2_planes(raw, width, height)
+    yy = np.maximum(y - 16, 0)
+    uu = np.repeat(u - 128, 2, axis=1)
+    vv = np.repeat(v - 128, 2, axis=1)
+    r = np.clip((149 * yy + 230 * vv + 64) >> 7, 0, 255)
+    g = np.clip((298 * yy - 137 * vv - 55 * uu + 128) >> 8, 0, 255)
+    b = np.clip((149 * yy + 270 * uu + 64) >> 7, 0, 255)
+    return r, g, b
+
+
+def blend_eyes(left_yuy2: bytes, right_yuy2: bytes, width: int, height: int,
+               mode: int) -> tuple[bytes, str]:
+    """Composite the two decoded eyes per the CFHD 3D blend mode.
+
+    Returns (bytes, fourcc): YUY2 for the geometric modes, BGRA for the
+    anaglyph family (which composites in RGB, `ProcessLine3D`).
+    Functional parity: geometry / channel selection match `Do3DWork`'s layout;
+    per-pixel filtering matches the documented mode semantics."""
+    if mode in (BLEND_NONE, 0):
+        return left_yuy2, "YUY2"
+    ly, lu, lv = _yuy2_planes(left_yuy2, width, height)
+    ry, ru, rv = _yuy2_planes(right_yuy2, width, height)
+    if mode == BLEND_STACKED_ANAMORPHIC:
+        # each eye vertically averaged to half height; left on top
+        def squash(p):
+            return (p[0::2] + p[1::2] + 1) >> 1
+        y = np.vstack([squash(ly), squash(ry)])
+        u = np.vstack([squash(lu), squash(ru)])
+        v = np.vstack([squash(lv), squash(rv)])
+        return _pack_yuy2(y, u, v), "YUY2"
+    if mode in (BLEND_SIDEBYSIDE_ANAMORPHIC, BLEND_FREEVIEW):
+        def thin(p):
+            return (p[:, 0::2] + p[:, 1::2] + 1) >> 1
+        y = np.hstack([thin(ly), thin(ry)])
+        u = np.hstack([thin(lu), thin(ru)])
+        v = np.hstack([thin(lv), thin(rv)])
+        return _pack_yuy2(y, u, v), "YUY2"
+    if mode == BLEND_LINE_INTERLEAVED:
+        y, u, v = ly.copy(), lu.copy(), lv.copy()
+        y[1::2] = ry[1::2]
+        u[1::2] = ru[1::2]
+        v[1::2] = rv[1::2]
+        return _pack_yuy2(y, u, v), "YUY2"
+    if mode == BLEND_ONION:
+        return _pack_yuy2((ly + ry + 1) >> 1, (lu + ru + 1) >> 1,
+                          (lv + rv + 1) >> 1), "YUY2"
+    if mode == BLEND_DIFFERENCE:
+        y = np.clip(128 + (ly - ry), 0, 255)
+        u = np.full_like(lu, 128)
+        v = np.full_like(lv, 128)
+        return _pack_yuy2(y, u, v), "YUY2"
+    if BLEND_ANAGLYPH_RC <= mode <= BLEND_ANAGLYPH_GM_BW:
+        lr, lg, lb = _yuy2_to_rgb(left_yuy2, width, height)
+        rr, rg, rb = _yuy2_to_rgb(right_yuy2, width, height)
+        if mode in (BLEND_ANAGLYPH_RC_BW, BLEND_ANAGLYPH_AB_BW,
+                    BLEND_ANAGLYPH_GM_BW):
+            # luminance-only anaglyph
+            def lum(r, g, b):
+                return (54 * r + 183 * g + 19 * b) >> 8
+            lr = lg = lb = lum(lr, lg, lb)
+            rr = rg = rb = lum(rr, rg, rb)
+        if mode in (BLEND_ANAGLYPH_RC, BLEND_ANAGLYPH_RC_BW):
+            r, g, b = lr, rg, rb          # red from left, cyan from right
+        elif mode in (BLEND_ANAGLYPH_AB, BLEND_ANAGLYPH_AB_BW):
+            r, g, b = lr, lg, rb          # amber (R+G) left, blue right
+        else:
+            r, g, b = rr, lg, rb          # green left, magenta right
+        bgra = np.empty((height, width, 4), np.uint8)
+        bgra[..., 0] = b
+        bgra[..., 1] = g
+        bgra[..., 2] = r
+        bgra[..., 3] = 255
+        return bgra.tobytes(), "BGRA"
+    raise ValueError(f"unsupported blend mode {mode}")

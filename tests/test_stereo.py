@@ -76,3 +76,50 @@ def test_3d_api_roundtrip_and_eye_selection():
         worse = 10 * np.log10(255 ** 2 / max(np.mean((out - other) ** 2),
                                              1e-9))
         assert worse < psnr - 5, "eye selection has no effect"
+
+
+def test_3d_blend_modes():
+    """Mask-3 decode composites both eyes per the channel blend mode
+    (`Do3DWork`, bayer.c:10761; enum codec.h:1261-1278)."""
+    import numpy as np
+    from cineform_tpu import api
+    from cineform_tpu.models import stereo
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    w, h = 320, 240
+    left, right = yuy2_frame(w, h, 1), yuy2_frame(w, h, 60)
+    sample = stereo.encode_sample_3d(left, right, w, h, 4)
+
+    dec = api.Decoder()
+    dec.prepare_to_decode(w, h, api.PixelFormat.YUY2, sample=sample)
+    dec.set_channels_active(3)
+    stacked = dec.decode_sample(sample)
+    a = np.asarray(stacked).reshape(h, 2 * w)
+    # top half ~ left eye content, bottom half ~ right eye content
+    l = np.frombuffer(left, np.uint8).reshape(h, 2 * w).astype(int)
+    r = np.frombuffer(right, np.uint8).reshape(h, 2 * w).astype(int)
+    lsq = (l[0::2] + l[1::2] + 1) >> 1
+    rsq = (r[0::2] + r[1::2] + 1) >> 1
+    assert np.abs(a[:h // 2].astype(int) - lsq).mean() < 4
+    assert np.abs(a[h // 2:].astype(int) - rsq).mean() < 4
+
+    dec.set_channel_blend(stereo.BLEND_DIFFERENCE)
+    diff = np.asarray(dec.decode_sample(sample)).reshape(h, 2 * w)
+    assert abs(int(diff[:, 0::2].astype(int).mean()) - 128) < 8
+
+    dec2 = api.Decoder()
+    dec2.prepare_to_decode(w, h, api.PixelFormat.BGRA, sample=sample)
+    dec2.set_channels_active(3)
+    dec2.set_channel_blend(stereo.BLEND_ANAGLYPH_RC)
+    ana = np.asarray(dec2.decode_sample(sample)).reshape(h, w, 4)
+    # red from the left eye, green/blue from the right
+    lr, lg, lb = stereo._yuy2_to_rgb(
+        intra_host_decode(sample, 0), w, h)
+    assert np.abs(ana[..., 2].astype(int) - lr).mean() < 4
+
+
+def intra_host_decode(sample, eye):
+    from cineform_tpu.models import stereo, intra_host
+    eyes = stereo.split_3d(sample)
+    out, _ = intra_host.decode_sample(eyes[eye], frame_index=eye)
+    return out
