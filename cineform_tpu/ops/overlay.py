@@ -119,3 +119,66 @@ def render_waveform_overlay(frame_y: np.ndarray, height: int = 96,
     strip[lit] = np.minimum(wf[lit], value).astype(strip.dtype)
     out[y0:y0 + height, :W] = strip
     return out
+
+
+def render_grid_overlay(frame_y: np.ndarray, xsteps: int = 3,
+                        ysteps: int = 3, value: int = 235,
+                        thickness: int = 1) -> np.ndarray:
+    """Rule-of-thirds / safe-area style grid burn-in (`draw.c:3988-4360`
+    draws borders and grids from GRID tool metadata; steps match its
+    xsteps/ysteps semantics).  Draws `xsteps-1` vertical and `ysteps-1`
+    horizontal lines over the luma plane."""
+    out = frame_y.copy()
+    h, w = out.shape
+    for i in range(1, xsteps):
+        x = round(i * w / xsteps)
+        out[:, max(x - thickness, 0):x + thickness] = value
+    for i in range(1, ysteps):
+        y = round(i * h / ysteps)
+        out[max(y - thickness, 0):y + thickness, :] = value
+    return out
+
+
+def burn_subtitle(frame: np.ndarray, text: str, scale: int = 2,
+                  margin: int = 16, boxed: bool = True) -> np.ndarray:
+    """Bottom-centered subtitle burn-in (the reference's subtitle tool is
+    a positioned text object with a background box, `draw.c:109-494`)."""
+    out = frame.copy()
+    mask = text_mask(text, scale)
+    mh, mw = mask.shape
+    h = out.shape[0]
+    w2 = out.shape[1]
+    x = max((w2 // 2 - mw) // 2 * 2, 0) if out.ndim == 2 else 0
+    # frame is YUY2-interleaved (h, 2*w): luma columns are even indices
+    wpix = out.shape[1] // 2
+    x = max((wpix - mw) // 2, 0)
+    y = max(h - mh - margin, 0)
+    region = out[y:y + mh, :]
+    if boxed:
+        pad = 6
+        y0 = max(y - pad, 0)
+        out[y0:min(y + mh + pad, h), max(2 * (x - pad), 0):
+            2 * min(x + mw + pad, wpix):2] >>= 2
+    luma = out[y:y + mh, 2 * x:2 * (x + mw):2]
+    luma[mask[:luma.shape[0], :luma.shape[1]] > 0] = 235
+    return out
+
+
+def composite_image(frame_rgb: np.ndarray, overlay_rgba: np.ndarray,
+                    x: int = 0, y: int = 0,
+                    opacity: float = 1.0) -> np.ndarray:
+    """Alpha-composite an RGBA overlay (logo / watermark) onto an RGB
+    frame (`draw.c` PNG logo objects; the reference loads the image via
+    its tools path and alpha-blends per pixel)."""
+    out = frame_rgb.astype(np.float32).copy()
+    oh, ow = overlay_rgba.shape[:2]
+    h, w = out.shape[:2]
+    x0, y0 = max(x, 0), max(y, 0)
+    x1, y1 = min(x + ow, w), min(y + oh, h)
+    if x1 <= x0 or y1 <= y0:
+        return frame_rgb.copy()
+    ov = overlay_rgba[y0 - y:y1 - y, x0 - x:x1 - x].astype(np.float32)
+    alpha = (ov[..., 3:4] / 255.0) * float(opacity)
+    out[y0:y1, x0:x1, :3] = (out[y0:y1, x0:x1, :3] * (1 - alpha)
+                             + ov[..., :3] * alpha)
+    return np.clip(out, 0, 255).astype(frame_rgb.dtype)

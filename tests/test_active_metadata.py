@@ -81,3 +81,48 @@ def test_colm_matrix_applies():
     p = am.develop_params(b"", items)
     assert p.matrix is not None
     assert p.matrix[0, 2] == 1.0 and p.matrix[0, 0] == 0.0
+
+
+def test_keyframed_control_points():
+    """CP3D/CPPR keyframed Active Metadata (`NewControlPoint`,
+    keyframes.c:167): control points carry a trigger (UFRM/TIMC) plus
+    inner metadata tuples; values interpolate between bracketing points
+    at decode time."""
+    import numpy as np
+    from cineform_tpu import metadata as md
+    from cineform_tpu.models import active_metadata as am
+    from cineform_tpu.models.intra_host import encode_sample
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    def cp(frame, wb):
+        inner = md.Metadata()
+        inner.add("WBAL", np.asarray(wb, "<f4").tobytes(), typ=b"f")
+        return (b"CP3D" + (0).to_bytes(4, "little") + b"UFRM"
+                + (4).to_bytes(3, "little") + b"L"
+                + frame.to_bytes(4, "little") + inner.block())
+
+    meta = md.Metadata()
+    meta.add("PRCS", (am.PROCESSING_ACTIVE
+                      | am.PROCESSING_WHITEBALANCE).to_bytes(4, "little"),
+             typ=b"L")
+    meta.add("CP3D", cp(0, (1.0, 1.0, 1.0)), typ=b"c")
+    meta.add("CP3D", cp(10, (2.0, 1.0, 0.5)), typ=b"c")
+    items = md.Metadata.parse_block(meta.block())
+
+    sample = encode_sample(yuy2_frame(64, 48, 1), 64, 48, 4)
+    p0 = am.develop_params_at(sample, 0, database=items)
+    p5 = am.develop_params_at(sample, 5, database=items)
+    p10 = am.develop_params_at(sample, 10, database=items)
+    assert p0.wb == (1.0, 1.0, 1.0)
+    assert abs(p5.wb[0] - 1.5) < 1e-6 and abs(p5.wb[2] - 0.75) < 1e-6
+    assert p10.wb == (2.0, 1.0, 0.5)
+    # TIMC triggers parse too
+    inner = md.Metadata()
+    inner.add("WBAL", np.asarray((3.0, 1.0, 1.0), "<f4").tobytes(), typ=b"f")
+    tc = b"00:00:01:00\0"
+    cp_t = (b"CPPR" + (0).to_bytes(4, "little") + b"TIMC"
+            + len(tc).to_bytes(3, "little") + b"c" + tc
+            + inner.block())
+    pts = am.parse_control_points(
+        md.Metadata.parse_block(md.Metadata().add("CPPR", cp_t, typ=b"c").block()))
+    assert pts and pts[0][0] == 24

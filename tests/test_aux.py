@@ -143,3 +143,43 @@ def test_cfhd_tool_cli(tmp_path):
                            text=True, env=env, cwd=root)
         assert r.returncode == 0, (args, r.stdout, r.stderr)
     assert len(out.read_bytes()) == 320 * 240 * 2
+
+
+def test_overlay_grid_subtitle_logo():
+    """Remaining draw.c burn-in objects: grids (draw.c:3988), subtitles,
+    and PNG logo/watermark compositing (draw.c:109-494)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cineform_tpu.ops.overlay import (burn_subtitle, composite_image,
+                                          render_grid_overlay)
+    from cineform_tpu.utils.png import read_png
+
+    g = render_grid_overlay(np.zeros((48, 64), np.uint8), 3, 3)
+    assert (g == 235).sum() >= 48 * 2 + 64 * 2
+
+    f = np.zeros((48, 128), np.uint8)
+    s = burn_subtitle(f, "SUB", scale=1)
+    assert (s == 235).any()
+    assert (s[:20] == 0).all()      # top untouched
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (8, 12, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(8))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 12, 8, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (read_png(png) == img).all()
+    frame = np.full((48, 64, 3), 100, np.uint8)
+    out = composite_image(frame, img, 4, 4, 1.0)
+    opaque = img[..., 3] == 255
+    if opaque.any():
+        ys, xs = np.nonzero(opaque)
+        assert (out[4 + ys[0], 4 + xs[0]] == img[ys[0], xs[0], :3]).all()
