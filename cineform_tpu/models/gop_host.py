@@ -13,10 +13,12 @@ else shares the intra machinery.
 
 Group decode replicates the reference's full-res behavior (both frames
 reconstructed from w0 + the temporal lowpass, see
-ref/gop.inverse_channel_gop) byte-exactly for all output rows except the
-bottom ~14, where the reference's bottom-strip kernel
-(`InvertSpatialBottomRow16s`, spatial.c:16101) reconstructs the
-intermediate levels' borders differently (round-2 TODO).
+ref/gop.inverse_channel_gop) FULLY byte-exactly, bottom strip included
+(the pyramid bottom borders are pinned per function — stale low-pair
+taps in InvertSpatialQuantOverflowProtected16s for w5/w3, standard in
+Descale16s for w4 — and the temporal combine saturates before its >>1).
+Interlaced groups decode with the replicated output dither within +-1
+(>99.5% byte-exact).
 """
 
 from __future__ import annotations
@@ -65,12 +67,25 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
     frames from w0 + the temporal lowpass, differing only in output
     dither); False uses w1 for a true frame-1 reconstruction (higher
     fidelity than the reference's own full-res group decode)."""
+    from cineform_tpu.utils.glibc_random import glibc_rand_sequence
+
     s = parse_sample(sample)
     progressive = s.progressive
     frames0 = []
     frames1 = []
-    d0 = xf.decode_dither_rows(s.height, 0) if dither and progressive else None
-    d1 = xf.decode_dither_rows(s.height, 1) if dither and progressive else None
+    if dither and progressive:
+        d0 = xf.decode_dither_rows(s.height, 0)
+        d1 = xf.decode_dither_rows(s.height, 1)
+    elif dither:
+        # interlaced: 16 rand()&1 per output row PAIR, pairs in linear
+        # order (InvertInterlacedRow16s10bitToYUV, temporal.c:5994);
+        # frame 2 consumes the next window
+        pairs = s.height // 2
+        seq = glibc_rand_sequence(16 * pairs * 2) & 1
+        d0 = seq[:16 * pairs].reshape(pairs, 16)
+        d1 = seq[16 * pairs:].reshape(pairs, 16)
+    else:
+        d0 = d1 = None
     for ci, c in enumerate(s.channels):
         bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
         for b in c.bands:
@@ -103,13 +118,19 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
                 vals[mask] = flat
             bands[widx][slot] = vals
         wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
-        off = intra_host.lowpass_channel_offset(c.lowpass.shape[1],
-                                                num_frames=2)
+        if progressive:
+            off = intra_host.lowpass_channel_offset(c.lowpass.shape[1],
+                                                    num_frames=2)
+        else:
+            # the interlaced final stage is the absolute formula, so it
+            # takes the reference's offset verbatim (+48 / +10 odd)
+            off = intra_host.lowpass_offset_absolute(
+                c.lowpass.shape[1], False, num_frames=2)
         lp = (c.lowpass + off).astype(c.lowpass.dtype) if off else c.lowpass
         f0, f1 = gxf.inverse_channel_gop(
             lp, wb, reference_compatible=reference_compatible,
             dither0=d0, dither1=d1, progressive=progressive,
-            dither_group=16 if ci == 0 else 8)
+            dither_group=16 if ci == 0 else 8, channel=ci)
         frames0.append(f0)
         frames1.append(f1)
     return xf.pack_yuy2(*frames0), xf.pack_yuy2(*frames1)

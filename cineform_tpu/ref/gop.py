@@ -122,7 +122,8 @@ def frame_wavelet_forward(plane: np.ndarray, quant):
                 xf.quantize(hh, quant[2]))
 
 
-def frame_wavelet_inverse(ll, lh, hl, hh, to8bit: bool = False) -> np.ndarray:
+def frame_wavelet_inverse(ll, lh, hl, hh, to8bit: bool = False,
+                          dither=None, channel: int = 0) -> np.ndarray:
     """Inverse HORZTEMP: horizontal 2-6 inverse then 2-2 row expansion
     (`InvertInterlacedRow16s10bitToYUV`, `Codec/temporal.c:5961`:
     even = clamp_0..2047(low - high) >> 1, odd = clamp(low + high) >> 1,
@@ -130,7 +131,14 @@ def frame_wavelet_inverse(ll, lh, hl, hh, to8bit: bool = False) -> np.ndarray:
 
     `hl` must be the dequantized band values; difference decoding (the
     row cumsum, `Codec/entropy_threading.c:205`, int16 wrap) is applied
-    here — the linear dequantization commutes with the cumsum."""
+    here — the linear dequantization commutes with the cumsum.
+
+    dither: (pairs, 16) {0,1} draws per output row pair (16 rand()&1
+    per kernel call, temporal.c:5994).  Lane layout pinned against the
+    reference decoder: luma even rows take rounding1/rounding2
+    alternating per 8 columns, odd rows the swap; chroma channel 1
+    (even r1 / odd r2) and channel 2 (even r2 / odd r1) use the lane
+    of their chroma column.  channel selects the lane rule."""
     hl = np.cumsum(hl.astype(np.int64), axis=1)
     hl = (((hl + 32768) & 0xFFFF) - 32768).astype(np.int32)
     tlow = xf.h26_inverse(ll, lh)
@@ -142,6 +150,21 @@ def frame_wavelet_inverse(ll, lh, hl, hh, to8bit: bool = False) -> np.ndarray:
     out[0::2] = even
     out[1::2] = odd
     if to8bit:
+        if dither is not None:
+            w = out.shape[1]
+            c = np.arange(w)
+            if channel == 0:
+                lane_e = np.where((c // 8) % 2 == 0, c % 8, 8 + c % 8)
+                lane_o = np.where((c // 8) % 2 == 0, 8 + c % 8, c % 8)
+            elif channel == 1:
+                lane_e = c % 8
+                lane_o = 8 + c % 8
+            else:
+                lane_e = 8 + c % 8
+                lane_o = c % 8
+            d = np.asarray(dither, np.int32)
+            out[0::2] += d[:, lane_e]
+            out[1::2] += d[:, lane_o]
         out = np.clip(out >> 2, 0, 255)
     return out
 
@@ -185,7 +208,7 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
                         reference_compatible: bool = True,
                         dither0=None, dither1=None,
                         progressive: bool = True,
-                        dither_group=None):
+                        dither_group=None, channel: int = 0):
     """Full FIELDPLUS inverse for one channel -> (frame0, frame1).
 
     bands values must already be dequantized.
@@ -213,13 +236,18 @@ def inverse_channel_gop(lowpass, bands, to8bit: bool = True,
     ll0 = xf.sat16(tlow.astype(np.int64) - thigh) >> 1
 
     if not progressive:
-        # interlaced: w0/w1 are HORZTEMP frame wavelets
-        f0 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit)
+        # interlaced: w0/w1 are HORZTEMP frame wavelets; dither0/dither1
+        # are (pairs, 16) draw blocks (InvertInterlacedRow16s10bitToYUV
+        # consumes 16 rand()&1 per output row pair, temporal.c:5994)
+        f0 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit,
+                                   dither=dither0, channel=channel)
         if reference_compatible:
-            f1 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit)
+            f1 = frame_wavelet_inverse(ll0, *bands[0], to8bit=to8bit,
+                                       dither=dither1, channel=channel)
         else:
             ll1 = xf.sat16(tlow.astype(np.int64) + thigh) >> 1
-            f1 = frame_wavelet_inverse(ll1, *bands[1], to8bit=to8bit)
+            f1 = frame_wavelet_inverse(ll1, *bands[1], to8bit=to8bit,
+                                       dither=dither1, channel=channel)
         return f0, f1
 
     def final(llf, wbands, dither):
