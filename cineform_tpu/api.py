@@ -618,8 +618,19 @@ class Decoder:
                 if self.resolution != DecodedResolution.FULL:
                     raise CFHDError(ErrorCode.BADFORMAT,
                                     "scaled GOP decode is not supported")
-                if self.output_format in (PixelFormat.YUY2,
-                                          PixelFormat.UYVY):
+                if info0 is not None and (self.width, self.height) != \
+                        (info0.width, info0.height):
+                    # arbitrary-size GOP decode: Lanczos-scale each frame,
+                    # alternating frame 1/2 like the unscaled GOP path
+                    key = hashlib.sha256(sample).digest()
+                    cache = getattr(self, "_gop_scale_cache", None)
+                    idx = cache[1] if cache is not None and \
+                        cache[0] == key else 0
+                    self._gop_scale_cache = (key, 1 - idx)
+                    out = self._decode_to_size(sample, self.width,
+                                               self.height, frame=idx)
+                elif self.output_format in (PixelFormat.YUY2,
+                                            PixelFormat.UYVY):
                     key = hashlib.sha256(sample).digest()
                     if getattr(self, "_gop_cache", None) is None or \
                             self._gop_cache[0] != key:
@@ -654,15 +665,7 @@ class Decoder:
                     (info0.width, info0.height):
                 # decoded size != requested size: scale with the Lanczos
                 # scaler like the reference's ConvertLib path
-                # (`DecoderSDK/SampleDecoder.cpp:1593-1597`)
-                if self.output_format not in (PixelFormat.YUY2,
-                                              PixelFormat.UYVY):
-                    raise CFHDError(
-                        ErrorCode.BADFORMAT,
-                        f"decode to {self.width}x{self.height} (coded "
-                        f"{info0.width}x{info0.height}) is only supported "
-                        f"for YUY2/UYVY output, not "
-                        f"{self.output_format!r}")
+                # (`DecoderSDK/SampleDecoder.cpp:1669-1725`)
                 out = self._decode_to_size(sample, self.width, self.height)
             elif self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY) \
                     and (dev_out := self._decode_device(sample, info0)) \
@@ -728,29 +731,39 @@ class Decoder:
             return None
 
     def _decode_to_size(self, sample: bytes, out_w: int,
-                        out_h: int) -> bytes:
-        """Decode then Lanczos-scale to the requested size
-        (`CLanczosScaler`, `ConvertLib/ImageScaler.h:77-1011`)."""
-        import jax.numpy as jnp
+                        out_h: int, frame: int = 0) -> bytes:
+        """Decode then Lanczos-scale to the requested size.
 
-        from cineform_tpu.models import intra_host
-        from cineform_tpu.ops import scaler
+        The reference's arbitrary-scaling path (`ScaleToOutputBuffer`,
+        `DecoderSDK/Conversion.cpp:455` -> `CLanczosScaler`,
+        `ConvertLib/ImageScaler.cpp`) decodes to a deep intermediate and
+        resamples with 8.8 fixed-point Lanczos-3 taps.  This decodes the
+        byte-exact YU64 reconstruction and applies the pinned scaler
+        model (`cineform_tpu.ref.scaler`, byte-exact vs the compiled
+        reference for the b64a output it supports; the same engine packs
+        every other format).  Note the release gates this path off with
+        `#define _SCALING 0` (SampleDecoder.cpp:77)."""
+        from cineform_tpu.bitstream import parse_sample
+        from cineform_tpu.models import gop_host, intra_host
+        from cineform_tpu.ref import scaler as rscaler
 
-        y, cr, cb = intra_host.decode_sample_yuv10(sample)
-        planes = []
-        for p, w in ((y, out_w), (cr, out_w // 2), (cb, out_w // 2)):
-            sc = scaler.scale_image(jnp.asarray(p, jnp.float32), out_h, w)
-            p8 = np.clip((np.asarray(sc) + 2.0) / 4.0, 0, 255).astype(
-                np.uint8)
-            planes.append(p8)
-        quad = np.empty((out_h, out_w // 2, 4), np.uint8)
-        quad[:, :, 0] = planes[0][:, 0::2]
-        quad[:, :, 2] = planes[0][:, 1::2]
-        quad[:, :, 1] = planes[2]           # Cb
-        quad[:, :, 3] = planes[1]           # Cr
-        if self.output_format == PixelFormat.UYVY:
-            quad = np.ascontiguousarray(quad[:, :, [1, 0, 3, 2]])
-        return quad.tobytes()
+        info = parse_sample(sample)
+        fourcc = {PixelFormat.YUY2: "YUY2", PixelFormat.UYVY: "2vuy",
+                  PixelFormat.YU64: "YU64", PixelFormat.V210: "v210",
+                  PixelFormat.RG48: "RG48", PixelFormat.BGRA: "BGRA",
+                  PixelFormat.B64A: "b64a", PixelFormat.R210: "r210",
+                  PixelFormat.DPX0: "DPX0", PixelFormat.RG30: "RG30",
+                  }.get(self.output_format)
+        if fourcc is None:
+            raise CFHDError(
+                ErrorCode.BADFORMAT,
+                f"scaled decode to {self.output_format!r}")
+        if info.sample_type == 2:
+            yu64 = gop_host.decode_group_to(sample, "YU64", frame=frame)
+        else:
+            yu64 = intra_host.decode_sample_to(sample, "YU64")
+        return rscaler.scale_yu64_to(yu64, info.width, info.height,
+                                     out_w, out_h, fourcc)
 
     # CFHD_CloseDecoder
     def close(self) -> None:

@@ -210,8 +210,14 @@ def test_decoder_gop_cache_keyed_on_full_sample():
 
 
 def test_decoder_arbitrary_size_scaling():
-    """Explicit output dimensions route through the Lanczos scaler
-    (`DecoderSDK/SampleDecoder.cpp:1593-1597` ConvertLib path)."""
+    """Explicit output dimensions route through the reference's
+    fixed-point Lanczos scaler (`ScaleToOutputBuffer`,
+    `DecoderSDK/Conversion.cpp:455` -> `ConvertLib/ImageScaler.cpp`),
+    applied to the byte-exact YU64 reconstruction — exact, not
+    approximate (the scaler itself is pinned byte-exact against the
+    compiled reference in tests/test_scaler.py)."""
+    from cineform_tpu.models import intra_host
+    from cineform_tpu.ref import scaler as rscaler
     from cineform_tpu.utils.testframes import yuy2_frame
 
     w, h = 320, 240
@@ -219,24 +225,15 @@ def test_decoder_arbitrary_size_scaling():
     enc.prepare_to_encode(w, h, api.PixelFormat.YUY2)
     enc.encode_sample(yuy2_frame(w, h, 5))
     sample = enc.get_sample_data()
+    yu64 = intra_host.decode_sample_to(sample, "YU64")
 
     for ow, oh in ((160, 120), (200, 150), (480, 360)):
         dec = api.Decoder()
         dec.prepare_to_decode(ow, oh, api.PixelFormat.YUY2)
         out = dec.decode_sample(sample)
         assert out.shape == (oh, 2 * ow)
-        # compare against the source luma scaled through the same scaler:
-        # catches wiring/layout mistakes (the scaler itself has its own
-        # property tests in test_image_ops.py)
-        import jax.numpy as jnp
-
-        from cineform_tpu.ops import scaler
-        src = np.frombuffer(yuy2_frame(w, h, 5), np.uint8).reshape(h, 2 * w)
-        sy = np.asarray(scaler.scale_image(
-            jnp.asarray(src[:, 0::2], jnp.float32), oh, ow))
-        oy = out[:, 0::2].astype(float)
-        err = np.abs(sy - oy).mean()
-        assert err < 3.0, (ow, oh, err)
+        want = rscaler.scale_yu64_to(yu64, w, h, ow, oh, "YUY2")
+        assert out.tobytes() == want, (ow, oh)
 
 
 def test_decode_half_resolution_byte_exact():
