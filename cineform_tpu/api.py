@@ -378,20 +378,31 @@ class Encoder:
                 frame_number=self._frame_number, metadata=frame_meta,
                 packed=(self.pixel_format == PixelFormat.BYR5))
         elif self.pixel_format == PixelFormat.YUY2 and gop:
-            # 2-frame GOP: the first EncodeSample of each pair returns the
-            # tiny sequence-header sample; the second returns the GROUP
-            # (the reference's CFHD_EncodeSample behaves the same way).
+            # 2-frame GOP streaming protocol (byte-exact vs the reference
+            # CFHD_EncodeSample over a 6-frame series): the stream's very
+            # first submission returns the tiny sequence-header sample
+            # (`EncodeFirstSample`, encoder.c:3226-3229); the first
+            # submission of every LATER pair returns a 24-byte
+            # SAMPLE_TYPE_FRAME sample that, on decode, emits the held
+            # group's true second frame; the second submission of each
+            # pair returns the GROUP sample.
             from cineform_tpu.models import gop_host
             if self._pending_gop_frame is None:
                 self._pending_gop_frame = buf.tobytes()
-                self._sample = gop_host.sequence_header(self.width,
-                                                        self.height)
+                if self._frame_number == 1:
+                    self._sample = gop_host.sequence_header(self.width,
+                                                            self.height)
+                else:
+                    self._sample = gop_host.frame_header_sample(
+                        self.width, self.height, self._frame_number - 2)
             else:
                 first = self._pending_gop_frame
                 self._pending_gop_frame = None
+                # the group's FRAME_NUMBER is the display number of its
+                # first frame (1, 3, 5, ... across the stream)
                 self._sample = gop_host.encode_group(
                     first, buf.tobytes(), self.width, self.height,
-                    int(self.quality), self._frame_number // 2,
+                    int(self.quality), self._frame_number - 1,
                     self._metadata,
                     progressive=not (self.encoding_flags
                                      & EncodingFlags.YUV_INTERLACED))
@@ -609,9 +620,64 @@ class Decoder:
             pass
         try:
             from cineform_tpu.bitstream import parse_sample
+            if len(sample) >= 4 and sample[:4] == b"\x00\x01\x00\x07":
+                # video sequence header: ignored by the decoder, no frame
+                # (`DecodeSample` SAMPLE_TYPE_SEQUENCE_HEADER,
+                # decoder.c:11023-11026)
+                return None
+            if len(sample) >= 4 and sample[:4] == b"\x00\x01\x00\x01":
+                # 24-byte SAMPLE_TYPE_FRAME sample: emit the TRUE second
+                # frame of the group this decoder holds (`DecodeSampleFrame`
+                # -> ReconstructSampleFrameToBuffer(frame_index=1),
+                # decoder.c:11482/11546) — byte-exact vs the reference
+                # stream decode incl. the second dither window
+                from cineform_tpu.models import gop_host
+                held = getattr(self, "_held_group", None)
+                if held is None:
+                    raise CFHDError(ErrorCode.BADSAMPLE,
+                                    "FRAME sample without a decoded group")
+                if (self.width, self.height) != \
+                        (parse_sample(held).width, parse_sample(held).height):
+                    out = self._decode_to_size(held, self.width,
+                                               self.height, frame=1)
+                elif self.output_format in (PixelFormat.YUY2,
+                                            PixelFormat.UYVY):
+                    # the rand() dither stream persists across samples in
+                    # one decoder instance: this frame takes the NEXT
+                    # window after everything already emitted
+                    base = getattr(self, "_gop_dither_count", 1) - 1
+                    self._gop_dither_count = base + 2
+                    out = gop_host.decode_group(
+                        held, reference_compatible=False,
+                        dither_base=base)[1]
+                    if self.output_format == PixelFormat.UYVY:
+                        a = np.frombuffer(out, np.uint8).reshape(-1, 4)
+                        out = np.ascontiguousarray(
+                            a[:, [1, 0, 3, 2]]).tobytes()
+                else:
+                    fourcc = {PixelFormat.YU64: "YU64",
+                              PixelFormat.V210: "v210",
+                              PixelFormat.RG48: "RG48",
+                              PixelFormat.BGRA: "BGRA",
+                              PixelFormat.B64A: "b64a",
+                              PixelFormat.R210: "r210",
+                              PixelFormat.DPX0: "DPX0",
+                              PixelFormat.RG30: "RG30"}.get(
+                                  self.output_format)
+                    if fourcc is None:
+                        raise CFHDError(
+                            ErrorCode.BADFORMAT,
+                            f"FRAME sample decode to {self.output_format!r}")
+                    out = gop_host.decode_group_to(held, fourcc, frame=1)
+                row_bytes = len(out) // self.height
+                return np.frombuffer(out, dtype=np.uint8).reshape(
+                    self.height, row_bytes)
             if parse_sample(sample).sample_type == 2:   # GROUP (2-frame GOP)
+                # hold the group for a following SAMPLE_TYPE_FRAME sample;
                 # consecutive DecodeSample calls on the same group return
-                # frame 1 then frame 2, like the reference decoder
+                # frame 1 then frame 1-with-advanced-dither, like the
+                # reference decoder's repeated-call behavior
+                self._held_group = sample
                 import hashlib
 
                 from cineform_tpu.models import gop_host
@@ -631,14 +697,14 @@ class Decoder:
                                                self.height, frame=idx)
                 elif self.output_format in (PixelFormat.YUY2,
                                             PixelFormat.UYVY):
-                    key = hashlib.sha256(sample).digest()
-                    if getattr(self, "_gop_cache", None) is None or \
-                            self._gop_cache[0] != key:
-                        f0, f1 = gop_host.decode_group(sample)
-                        self._gop_cache = (key, f0, f1, 0)
-                    key, f0, f1, idx = self._gop_cache
-                    out = f0 if idx == 0 else f1
-                    self._gop_cache = (key, f0, f1, 1 - idx)
+                    # every group decode emits frame 1 with the NEXT
+                    # rand() dither window: repeated calls on the same
+                    # group therefore return frame 1 then frame 1 with
+                    # advanced dither, exactly like the reference binary
+                    base = getattr(self, "_gop_dither_count", 0)
+                    self._gop_dither_count = base + 1
+                    out = gop_host.decode_group(sample,
+                                                dither_base=base)[0]
                     if self.output_format == PixelFormat.UYVY:
                         a = np.frombuffer(out, np.uint8).reshape(-1, 4)
                         out = np.ascontiguousarray(

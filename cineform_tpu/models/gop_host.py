@@ -60,13 +60,20 @@ def _bandend_marker(codeset: int = 17) -> bytes:
 
 
 def decode_group(sample: bytes, reference_compatible: bool = True,
-                 dither: bool = True) -> tuple[bytes, bytes]:
+                 dither: bool = True,
+                 dither_base: int = 0) -> tuple[bytes, bytes]:
     """Decode one GROUP sample into two YUY2 frames.
 
-    reference_compatible=True replicates the reference decoder (both
-    frames from w0 + the temporal lowpass, differing only in output
-    dither); False uses w1 for a true frame-1 reconstruction (higher
-    fidelity than the reference's own full-res group decode)."""
+    reference_compatible=True replicates the reference decoder's
+    repeated-call output (both frames from w0 + the temporal lowpass,
+    differing only in output dither); False reconstructs the TRUE second
+    frame from w1's bands over (tlow + thigh) >> 1 — the reference's own
+    SAMPLE_TYPE_FRAME streaming path (`DecodeSampleFrame`,
+    decoder.c:11482), byte-exact vs the binary.
+
+    dither_base: index of the decoder's glibc rand() window for the first
+    output frame (the stream continues across DecodeSample calls in one
+    decoder instance; each emitted 8-bit frame consumes one window)."""
     from cineform_tpu.utils.glibc_random import glibc_rand_sequence
 
     s = parse_sample(sample)
@@ -74,16 +81,17 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
     frames0 = []
     frames1 = []
     if dither and progressive:
-        d0 = xf.decode_dither_rows(s.height, 0)
-        d1 = xf.decode_dither_rows(s.height, 1)
+        d0 = xf.decode_dither_rows(s.height, dither_base)
+        d1 = xf.decode_dither_rows(s.height, dither_base + 1)
     elif dither:
         # interlaced: 16 rand()&1 per output row PAIR, pairs in linear
         # order (InvertInterlacedRow16s10bitToYUV, temporal.c:5994);
         # frame 2 consumes the next window
         pairs = s.height // 2
-        seq = glibc_rand_sequence(16 * pairs * 2) & 1
-        d0 = seq[:16 * pairs].reshape(pairs, 16)
-        d1 = seq[16 * pairs:].reshape(pairs, 16)
+        seq = glibc_rand_sequence(16 * pairs * (dither_base + 2)) & 1
+        d0 = seq[16 * pairs * dither_base:
+                 16 * pairs * (dither_base + 1)].reshape(pairs, 16)
+        d1 = seq[16 * pairs * (dither_base + 1):].reshape(pairs, 16)
     else:
         d0 = d1 = None
     for ci, c in enumerate(s.channels):
@@ -181,9 +189,12 @@ def decode_group_deep16(sample: bytes, deep_yuv: bool = True,
                                  bottom_shift=True)
         if frame == 0:
             ll = xf.sat16(tlow.astype(np.int64) - thigh) >> 1
+            lh, hl, hh = wb[0]
         else:
+            # TRUE second frame: its own temporal field plus w1's coded
+            # highpass bands (ReconstructSampleFrameToBuffer frame_index 1)
             ll = xf.sat16(tlow.astype(np.int64) + thigh) >> 1
-        lh, hl, hh = wb[0]
+            lh, hl, hh = wb[1]
         low = xf.v26_inverse(ll.astype(np.int32), hl)
         high = xf.v26_inverse(lh, hh)
         planes.append(xf.h26_inverse_to_row16u(low, high, s.precision))
@@ -219,6 +230,30 @@ def sequence_header(width: int, height: int,
     w.put_tag(tags.FRAME_HEIGHT, height)
     w.put_tag(tags.FRAME_FORMAT, 2)
     w.put_tag_optional(tags.INPUT_FORMAT, input_format)
+    return w.getvalue()
+
+
+def frame_header_sample(width: int, height: int,
+                        frame_number: int) -> bytes:
+    """The 24-byte SAMPLE_TYPE_FRAME sample the encoder emits for the
+    first submission of every group after the first (the reference emits
+    the sequence header only for the stream's first frame,
+    `Codec/encoder.c:3226-3229`).  In decode order this sample asks the
+    decoder for the TRUE second frame of the group it currently holds
+    (`DecodeSampleFrame`, `Codec/decoder.c:11482` ->
+    `ReconstructSampleFrameToBuffer(frame_index=1)`).  Byte-exact vs the
+    reference's 6-frame GOP stream (tests/test_gop.py).
+
+    frame_number is the display number of that second frame (1-based
+    stream position minus one: the sample emitted at submission 2k
+    carries 2k-1)."""
+    w = SampleWriter()
+    w.put_tag(tags.SAMPLE, tags.SAMPLE_TYPE_FRAME)
+    w.put_tag(tags.FRAME_TYPE, 2)
+    w.put_tag(tags.FRAME_WIDTH, width)
+    w.put_tag(tags.FRAME_HEIGHT, height)
+    w.put_tag_optional(tags.FRAME_NUMBER, frame_number)
+    w.put_tag(tags.FRAME_INDEX, 1)
     return w.getvalue()
 
 

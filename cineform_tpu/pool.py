@@ -249,19 +249,29 @@ class EncoderPool:
             with self._lock:
                 if self.gop:
                     if self._gop_parity == 0:
-                        # first of the pair: deliver the tiny sequence
-                        # header sample immediately (sync Encoder parity)
+                        # first of the pair: deliver the tiny header
+                        # sample immediately (sync Encoder parity) — the
+                        # sequence header for the stream's first group,
+                        # a SAMPLE_TYPE_FRAME header for every later one
+                        # (`EncodeFirstSample` runs once, encoder.c:3226)
                         from cineform_tpu.models import gop_host
                         self._gop_first = arr
                         self._gop_parity = 1
-                        fut.set_result(gop_host.sequence_header(
-                            self.width, self.height))
+                        ngroups = getattr(self, "_gop_group", 0)
+                        if ngroups == 0:
+                            fut.set_result(gop_host.sequence_header(
+                                self.width, self.height))
+                        else:
+                            fut.set_result(gop_host.frame_header_sample(
+                                self.width, self.height, 2 * ngroups - 1))
                     else:
                         self._gop_parity = 0
                         self._gop_group = getattr(self, "_gop_group", 0) + 1
+                        # the group's FRAME_NUMBER is the display number
+                        # of its first frame (1, 3, 5, ...)
                         self._batch_queue.append(
-                            (self._gop_group, self._gop_first, arr, meta,
-                             fut))
+                            (2 * self._gop_group - 1, self._gop_first, arr,
+                             meta, fut))
                 else:
                     self._batch_queue.append((frame_number, arr, meta, fut))
                 self._pending.append((frame_number, fut))

@@ -202,10 +202,12 @@ def test_decoder_gop_cache_keyed_on_full_sample():
     dec = api.CFHD_OpenDecoder()
     dec.prepare_to_decode(w, h, api.PixelFormat.YUY2, sample=sa)
     outa = dec.decode_sample(sa).tobytes()
-    dec.decode_sample(sa)  # frame 2 of group A
+    dec.decode_sample(sa)  # frame 1 again, next dither window
     outb = dec.decode_sample(sb).tobytes()
     assert outa != outb
-    ref_b0, _ = gop_host.decode_group(sb)
+    # the decoder's rand() dither stream persists across samples: the
+    # third emitted frame takes window 2
+    ref_b0, _ = gop_host.decode_group(sb, dither_base=2)
     assert outb == ref_b0
 
 

@@ -284,3 +284,72 @@ def test_interlaced_gop_decode_dither():
         a = np.frombuffer(mine, np.uint8).astype(int)
         assert np.abs(a - gold).max() <= 1
         assert (a == gold).mean() > 0.995
+
+
+def test_gop_stream_protocol_encode_byte_exact():
+    """6-frame GOP stream: the reference encoder emits the sequence
+    header ONCE (first submission), a 24-byte SAMPLE_TYPE_FRAME header
+    for the first submission of every later pair, and GROUP samples for
+    the second submissions (`EncodeFirstSample` gate, encoder.c:3226;
+    goldens from CFHD_EncodeSample over patterns 1..6)."""
+    from cineform_tpu import api
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    enc = api.Encoder()
+    enc.prepare_to_encode(320, 240, api.PixelFormat.YUY2,
+                          api.EncodedFormat.YUV_422,
+                          api.EncodingFlags.YUV_2FRAME_GOP,
+                          api.EncodingQuality(4))
+    for i in range(6):
+        if i % 2:
+            # GUID/DATE/TIME metadata is per-run random in the reference;
+            # inject each group golden's values like the direct encode test
+            enc._metadata = _metadata_from(
+                _golden(f"gopstream_320x240_q4.s{i}"))
+        enc.encode_sample(yuy2_frame(320, 240, 1 + i))
+        got = enc.get_sample_data()
+        want = _golden(f"gopstream_320x240_q4.s{i}")
+        assert got == want, f"sample {i}: {len(got)} vs {len(want)} bytes"
+
+
+def test_gop_stream_protocol_decode_byte_exact():
+    """Decoding the stream: the sequence header yields no frame; a GROUP
+    sample yields its first frame; the 24-byte SAMPLE_TYPE_FRAME sample
+    yields the TRUE second frame of the held group — w1's highpass bands
+    over (tlow + thigh) >> 1 with the second dither window
+    (`DecodeSampleFrame` -> ReconstructSampleFrameToBuffer(1),
+    decoder.c:11482/11546).  Byte-exact vs the reference decoding the
+    same stream."""
+    from cineform_tpu import api
+
+    samples = [_golden(f"gopstream_320x240_q4.s{i}") for i in range(6)]
+    dec = api.Decoder()
+    dec.prepare_to_decode(320, 240, api.PixelFormat.YUY2, sample=samples[1])
+    assert dec.decode_sample(samples[0]) is None
+    # the reference decoder's glibc rand() dither stream persists across
+    # DecodeSample calls: emitted frame k takes dither window k
+    for i, name in [(1, "f0"), (2, "f1true"), (3, "f2"), (4, "f3true"),
+                    (5, "f4")]:
+        got = dec.decode_sample(samples[i]).tobytes()
+        assert got == _golden(f"gopstream_320x240_q4.{name}.yuy2"), i
+
+
+def test_gop_true_second_frame_deep_byte_exact():
+    """The SAMPLE_TYPE_FRAME deep decode (YU64/RG48) is byte-exact vs the
+    reference decoding group-then-tiny to the same formats."""
+    grp = _golden("gopstream_320x240_q4.s1")
+    assert gop_host.decode_group_to(grp, "YU64", frame=1) == \
+        _golden("gopstream_320x240_q4.f1true.yu64out")
+    assert gop_host.decode_group_to(grp, "RG48", frame=1) == \
+        _golden("gopstream_320x240_q4.f1true.rg48out")
+
+
+def test_gop_frame_header_sample_without_group_raises():
+    from cineform_tpu import api
+
+    tiny = _golden("gopstream_320x240_q4.s2")
+    grp = _golden("gopstream_320x240_q4.s1")
+    dec = api.Decoder()
+    dec.prepare_to_decode(320, 240, api.PixelFormat.YUY2, sample=grp)
+    with pytest.raises(api.CFHDError):
+        dec.decode_sample(tiny)
