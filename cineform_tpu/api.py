@@ -503,7 +503,8 @@ class Decoder:
     OUTPUT_FORMATS = (PixelFormat.YUY2, PixelFormat.UYVY, PixelFormat.YU64,
                       PixelFormat.V210, PixelFormat.RG48, PixelFormat.BGRA,
                       PixelFormat.B64A, PixelFormat.NV12, PixelFormat.R210,
-                      PixelFormat.DPX0, PixelFormat.RG30)
+                      PixelFormat.DPX0, PixelFormat.RG30,
+                      PixelFormat.BYR4)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -521,9 +522,12 @@ class Decoder:
             s = parse_sample(sample)
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+        # the reference doubles the reported dimensions for Bayer sources
+        # (`ParseSampleHeader`, Codec/decoder.c:2619-2623)
+        mult = 2 if s.encoded_format == 2 else 1
         return SampleInfo(
-            width=s.width, height=s.height,
-            display_height=s.display_height or s.height,
+            width=s.width * mult, height=s.height * mult,
+            display_height=(s.display_height or s.height) * mult,
             key_frame=(s.sample_type == tags.SAMPLE_TYPE_IFRAME),
             encoded_format=EncodedFormat(max(0, s.encoded_format - 1)),
             quality=s.quality, frame_number=s.frame_number)
@@ -727,6 +731,20 @@ class Decoder:
             elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
+            elif info0 is not None and \
+                    getattr(info0, "encoded_format", 0) == 2:  # BAYER
+                # full-mosaic-resolution RAW decode (byte-exact DemosaicRAW
+                # chain / GenerateBYR2, `Codec/bayer.c:9339/13237`); the
+                # sample header reports mosaic-half channel dims
+                fourcc = {PixelFormat.RG48: "RG48",
+                          PixelFormat.B64A: "b64a",
+                          PixelFormat.BYR4: "BYR4"}.get(self.output_format)
+                if fourcc is None:
+                    raise CFHDError(
+                        ErrorCode.BADFORMAT,
+                        f"Bayer decode to {self.output_format!r} (RG48, "
+                        f"b64a and BYR4 outputs are supported)")
+                out = intra_host.decode_sample_bayer_to(sample, fourcc)
             elif info0 is not None and (self.width, self.height) != \
                     (info0.width, info0.height):
                 # decoded size != requested size: scale with the Lanczos
@@ -759,6 +777,7 @@ class Decoder:
                 PixelFormat.R210: 4 * self.width,
                 PixelFormat.DPX0: 4 * self.width,
                 PixelFormat.RG30: 4 * self.width,
+                PixelFormat.BYR4: 2 * self.width,
             }[self.output_format]
             if len(out) != self.height * row_bytes:
                 raise CFHDError(

@@ -529,10 +529,78 @@ def encode_sample_bayer(frame: bytes, width: int, height: int, quality: int,
                         colorspace=None)
 
 
+def decode_sample_bayer_row16u(sample: bytes) -> list[np.ndarray]:
+    """Decode a Bayer sample's four channels (G, RG, BG, GD) to the
+    reference's Row16u 16-bit planar rows at mosaic-half resolution
+    (`TransformInverseSpatialToRow16u` into RawBayer16,
+    `Codec/decoder.c:14630-14637`; the lowpass channel offset is 0 for
+    Bayer sources, decoder.c:12318-12319)."""
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    planes = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+        lh, hl, hh = wb[0]
+        low = xf.v26_inverse(ll, hl)
+        high = xf.v26_inverse(lh, hh)
+        planes.append(xf.h26_inverse_to_row16u(low, high, s.precision))
+    return planes
+
+
+def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
+    """Decode a Bayer sample to a full-mosaic-resolution output format,
+    BYTE-EXACT vs the reference decoder:
+
+    - 'BYR4': GenerateBYR2's scalar un-difference with the
+      BYR4LinearRestore log-to-linear LUT (`Codec/bayer.c:13237`,
+      `decoder.c:10714`).
+    - 'RG48': the full DemosaicRAW chain — ColorDifference2Bayer,
+      CF-enhanced 5x5 debayer with Advanced Detail 1 sharpening, and the
+      direct 16-bit store (`Codec/bayer.c:9339`, ref/demosaic.py).
+    """
+    from cineform_tpu.ref import demosaic as dm
+
+    G, RG, BG, GD = decode_sample_bayer_row16u(sample)
+    if fourcc == "BYR4":
+        lut = dm.log2lin_lut()
+        r, g1, g2, b = dm.generate_byr2_components(G, RG, BG, GD, lut)
+        h, w = G.shape
+        out = np.zeros((h * 2, w * 2), np.uint16)
+        out[0::2, 0::2] = r
+        out[0::2, 1::2] = g1
+        out[1::2, 0::2] = g2
+        out[1::2, 1::2] = b
+        return out.astype("<u2").tobytes()
+    if fourcc == "RG48":
+        return dm.demosaic_raw_rg48(G, RG, BG, GD).astype("<u2").tobytes()
+    if fourcc == "b64a":
+        # Bayer-source b64a is stored LITTLE-endian ARGB16 (unlike the
+        # byte-swapped YUV-source b64a writer) with opaque alpha —
+        # verified against the binary (bayer.c ConvertLinesToOutput)
+        rgb = dm.demosaic_raw_rg48(G, RG, BG, GD)
+        h, w, _ = rgb.shape
+        out = np.empty((h, w, 4), np.uint16)
+        out[..., 0] = 0xFFFF
+        out[..., 1:] = rgb
+        return out.astype("<u2").tobytes()
+    raise ValueError(f"bayer decode to {fourcc!r} is not supported")
+
+
 def decode_sample_bayer(sample: bytes) -> tuple[np.ndarray, object]:
     """Decode a Bayer sample to quarter-res linear RGB (simple develop:
-    un-difference the channels, invert the LOG-90 curve; full demosaic to
-    mosaic resolution lives in models/demosaic.py)."""
+    un-difference the channels, invert the LOG-90 curve; the full
+    byte-exact demosaic lives in decode_sample_bayer_to /
+    ref/demosaic.py)."""
     from cineform_tpu.entropy import native as entropy_native
 
     s = parse_sample(sample)
