@@ -63,8 +63,14 @@ def develop_params(sample: bytes,
         if tag == "PRCS":
             p.flags = _u32(item)
         elif tag == "WBAL" and len(item.payload) >= 12:
-            vals = _floats(item, 3)
-            p.wb = tuple(float(np.clip(v, 0.4, 10.0)) for v in vals)
+            # 4-float payload is (r, g1, g2, b): the SECOND GREEN is
+            # skipped when building the channel gains
+            # (`DemoasicFrames.cpp:5756-5768`)
+            n = len(item.payload) // 4
+            vals = _floats(item, min(n, 4))
+            if n >= 4:
+                vals = np.array([vals[0], vals[1], vals[3]])
+            p.wb = tuple(float(np.clip(v, 0.4, 10.0)) for v in vals[:3])
         elif tag == "COLM" and len(item.payload) >= 48:
             m = _floats(item, 12).reshape(3, 4)
             p.matrix = m[:, :3]

@@ -567,7 +567,12 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     - 'RG48': the full DemosaicRAW chain — ColorDifference2Bayer,
       CF-enhanced 5x5 debayer with Advanced Detail 1 sharpening, and the
       direct 16-bit store (`Codec/bayer.c:9339`, ref/demosaic.py).
+
+    WBAL white balance attached to the sample (gated by PRCS) runs the
+    ApplyActiveMetaData 1D-LUT develop stage — also byte-exact
+    (`CURVES_PROCESSING_MACRO`, bayer.c:7164).
     """
+    from cineform_tpu.models import active_metadata as am
     from cineform_tpu.ref import demosaic as dm
 
     G, RG, BG, GD = decode_sample_bayer_row16u(sample)
@@ -581,19 +586,25 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         out[1::2, 0::2] = g2
         out[1::2, 1::2] = b
         return out.astype("<u2").tobytes()
-    if fourcc == "RG48":
-        return dm.demosaic_raw_rg48(G, RG, BG, GD).astype("<u2").tobytes()
-    if fourcc == "b64a":
-        # Bayer-source b64a is stored LITTLE-endian ARGB16 (unlike the
-        # byte-swapped YUV-source b64a writer) with opaque alpha —
-        # verified against the binary (bayer.c ConvertLinesToOutput)
+    if fourcc not in ("RG48", "b64a"):
+        raise ValueError(f"bayer decode to {fourcc!r} is not supported")
+
+    p = am.develop_params(sample)
+    wb_active = p.enabled and tuple(p.wb) != (1.0, 1.0, 1.0)
+    if wb_active:
+        rgb = dm.demosaic_raw_rg48_wb(G, RG, BG, GD, p.wb)
+    else:
         rgb = dm.demosaic_raw_rg48(G, RG, BG, GD)
-        h, w, _ = rgb.shape
-        out = np.empty((h, w, 4), np.uint16)
-        out[..., 0] = 0xFFFF
-        out[..., 1:] = rgb
-        return out.astype("<u2").tobytes()
-    raise ValueError(f"bayer decode to {fourcc!r} is not supported")
+    if fourcc == "RG48":
+        return rgb.astype("<u2").tobytes()
+    # Bayer-source b64a is stored LITTLE-endian ARGB16 (unlike the
+    # byte-swapped YUV-source b64a writer) with opaque alpha —
+    # verified against the binary (bayer.c ConvertLinesToOutput)
+    h, w, _ = rgb.shape
+    out = np.empty((h, w, 4), np.uint16)
+    out[..., 0] = 0xFFFF
+    out[..., 1:] = rgb
+    return out.astype("<u2").tobytes()
 
 
 def decode_sample_bayer(sample: bytes) -> tuple[np.ndarray, object]:

@@ -424,9 +424,11 @@ def debayer_line_red_grn(bayer: np.ndarray, y: int, highquality: int = 1,
             o[xg, 0] = b[oddrow - 1, xg]
             o[xg, 1] = b[oddrow, xg]
             o[xg, 2] = _avg2(b[oddrow, xg - 1], b[oddrow, xg + 1])
+            # final blue cell: grn comes from the SAME row's x-1
+            # (DemoasicFrames.cpp last-row tail)
             x = width - 1
             o[x, 0] = b[oddrow - 1, x - 1]
-            o[x, 1] = b[oddrow - 1, x]
+            o[x, 1] = b[oddrow, x - 1]
             o[x, 2] = b[oddrow, x]
 
     if sharpening == 0:
@@ -502,3 +504,78 @@ def demosaic_raw_rg48(G, RG, BG, GD, bayer_format: int = 0,
             flat[min(Dr + 1, h2 - 1)], flat[min(Er + 1, h2 - 1)],
             sharpening)
     return out.reshape(h2, w2, 3).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# ApplyActiveMetaData: the 1D-LUT develop path (white balance / matrix)
+# ---------------------------------------------------------------------------
+
+def curve2linear_lut(curve_base: float = 90.0) -> np.ndarray:
+    """decoder->Curve2Linear (Build1DCurves2Linear, bayer.c:5196-5262):
+    49152-entry signed 13-bit curve-to-linear table over [-2, +4)."""
+    k = np.arange(-16384, 32768, dtype=np.float64)
+    i32 = (k.astype(np.float32) / np.float32(8192.0)).astype(np.float64)
+    lin = (np.power(curve_base, i32) - 1.0) / (curve_base - 1.0)
+    val = (lin.astype(np.float32) * np.float32(8192.0)).astype(np.float32)
+    return np.clip(np.trunc(val).astype(np.int64), -16384, 32767)
+
+
+def linear2curve_lut(curve_base: float = 90.0,
+                     gamma_tweak: float = 1.0) -> np.ndarray:
+    """decoder->Linear2CurveRed (Build1DLinear2Curves, bayer.c:5289-5527,
+    cg-unity branch): 65536-entry signed 13-bit linear-to-curve table
+    over [-2, +6)."""
+    j = np.arange(65536, dtype=np.float64)
+    intensity = (j - 16384.0).astype(np.float32)
+    x = (intensity / np.float32(8192.0)).astype(np.float64)
+    if gamma_tweak != 1.0:
+        x = np.where(x >= 0, np.power(x, 1.0 / gamma_tweak),
+                     -np.power(-x, 1.0 / gamma_tweak))
+    x = x.astype(np.float32).astype(np.float64)
+    b = float(curve_base)
+    pos = np.log10(np.maximum(x, 0) * (b - 1.0) + 1.0) / np.log10(b)
+    neg = -np.log10(np.maximum(-x, 0) * (b - 1.0) + 1.0) / np.log10(b)
+    cur = np.where(x >= 0.0, pos, neg).astype(np.float32)
+    val = (cur * np.float32(8192.0)).astype(np.float32)
+    return np.clip(np.trunc(val).astype(np.int64), -16384, 32767)
+
+
+def normalize_white_balance(wb) -> np.ndarray:
+    """The reference's white-balance conditioning (bayer.c:4395-4427):
+    floor gains at 0.4 and cap at 10.0 (the renormalize-below-1.0 block
+    is compiled out with `#if 0`)."""
+    wb = np.maximum(np.asarray(wb, np.float64)[:3], 0.4)
+    return np.minimum(wb, 10.0)
+
+
+def apply_active_metadata_wb(rgb16: np.ndarray, wb,
+                             curve_base: float = 90.0) -> np.ndarray:
+    """ApplyActiveMetaData's integer 1D-LUT path for a linear diagonal
+    matrix (CURVES_PROCESSING_MACRO, bayer.c:7164-7330, useFloatCC=0):
+
+        v13 = v16 >> 3
+        lin = Curve2Linear[v13 + 16384]
+        n   = ((lcm . lin) >> 13) + lcm[3], clamped to [-16384, 49151]
+        out = Linear2CurveRed[n + 16384]      (signed 13-bit)
+
+    Returns the signed 13-bit rows (whitebitdepth 13); the RG48 store
+    shifts them <<3 with a [0, 65535] clamp (bayer.c:1286-1301)."""
+    c2l = curve2linear_lut(curve_base)
+    l2c = linear2curve_lut(curve_base)
+    wb = normalize_white_balance(wb)
+    lcm = np.trunc(wb * 8192.0).astype(np.int64)   # (int)(gain * 8192.0)
+
+    v13 = rgb16.astype(np.int64) >> 3
+    lin = c2l[v13 + 16384]
+    n = (lcm[None, None, :] * lin) >> 13
+    n = np.clip(n, -16384, 49151)
+    return l2c[n + 16384]
+
+
+def demosaic_raw_rg48_wb(G, RG, BG, GD, wb, bayer_format: int = 0,
+                         sharpening: int = 1) -> np.ndarray:
+    """DemosaicRAW + ApplyActiveMetaData white balance -> RG48 rows
+    (whitepoint-13 store: value << 3, clamp [0, 65535])."""
+    rgb = demosaic_raw_rg48(G, RG, BG, GD, bayer_format, sharpening)
+    out13 = apply_active_metadata_wb(rgb, wb)
+    return np.clip(out13 << 3, 0, 65535).astype(np.uint16)

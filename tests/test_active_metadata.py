@@ -53,7 +53,7 @@ def test_prcs_gates_every_stage():
     def items(flags):
         out = [
             md.MetadataItem("WBAL", b"f",
-                            np.asarray([2.0, 1.0, 0.5, 1.0],
+                            np.asarray([2.0, 1.0, 1.0, 0.5],
                                        "<f4").tobytes()),
             md.MetadataItem("PRCS", b"H", int(flags).to_bytes(4, "little")),
         ]
@@ -65,6 +65,7 @@ def test_prcs_gates_every_stage():
     assert p1.enabled and p1.wb == (1.0, 1.0, 1.0)   # WB bit not set
     p2 = am.develop_params(
         b"", items(am.PROCESSING_ACTIVE | am.PROCESSING_WHITEBALANCE))
+    # payload is (r, g1, g2, b): the second green is skipped
     assert p2.wb == (2.0, 1.0, 0.5)
 
 

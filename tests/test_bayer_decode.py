@@ -82,3 +82,18 @@ def test_bayer_decode_b64a_byte_exact():
     sample = _golden("byr4_320x240_q4_p1.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "b64a") == \
         _golden("byr4_320x240_q4_p1.b64aout")
+
+
+@pytest.mark.parametrize("name", ["byr4_wbal_320x240_q4",
+                                  "byr4_wbal2_320x240_q4"])
+def test_bayer_wbal_develop_byte_exact(name):
+    """WBAL metadata drives the ApplyActiveMetaData 1D-LUT develop stage
+    byte-exactly: Curve2Linear -> integer diagonal matrix
+    ((gain*8192)*v >> 13, clamp [-16384, 49151]) -> Linear2Curve -> <<3
+    store (CURVES_PROCESSING_MACRO, bayer.c:7164; LUT builders
+    bayer.c:5196/5289).  The WBAL payload's second green is skipped
+    (DemoasicFrames.cpp:5766) and gains are only capped to [0.4, 10]
+    (the renormalize block is #if 0)."""
+    sample = _golden(name + ".cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden(name + ".rg48out")

@@ -273,12 +273,14 @@ static int do_encode_byr4_wbal(int w, int h, int quality, int pattern,
                                           (CFHD_EncodingQuality)quality);
     if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
     CFHD_MetadataOpen(&md);
+    /* WBAL payload layout is (r, g1, g2, b): the decoder SKIPS the
+     * second green when building channel gains (DemoasicFrames.cpp:5766) */
     float wbal[4];
     uint32_t prcs = PROCESSING_ACTIVE | PROCESSING_WHITEBALANCE;
     wbal[0] = (float)r1000 / 1000.0f;
     wbal[1] = (float)g1000 / 1000.0f;
-    wbal[2] = (float)b1000 / 1000.0f;
-    wbal[3] = 1.0f;
+    wbal[2] = (float)g1000 / 1000.0f;
+    wbal[3] = (float)b1000 / 1000.0f;
     CFHD_MetadataAdd(md, TAG_WHITE_BALANCE, METADATATYPE_FLOAT, 16,
                      (uint32_t *)wbal, 0);
     CFHD_MetadataAdd(md, TAG_PROCESS_PATH, (CFHD_MetadataType)'H', 4,
