@@ -732,6 +732,19 @@ class Decoder:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
             elif info0 is not None and \
+                    getattr(info0, "encoded_format", 0) in (3, 4):
+                # RGB 4:4:4 / RGBA 4:4:4:4 sources: byte-exact Row16u
+                # reconstruction with the per-writer saturation semantics
+                # and the alpha decompand (intra_host.decode_sample_rgb)
+                fourcc = {PixelFormat.RG48: "RG48",
+                          PixelFormat.B64A: "b64a"}.get(self.output_format)
+                if fourcc is None:
+                    raise CFHDError(
+                        ErrorCode.BADFORMAT,
+                        f"RGB-source decode to {self.output_format!r} "
+                        f"(RG48 and b64a outputs are supported)")
+                out, _ = intra_host.decode_sample_rgb(sample, fourcc)
+            elif info0 is not None and \
                     getattr(info0, "encoded_format", 0) == 2:  # BAYER
                 # full-mosaic-resolution RAW decode (byte-exact DemosaicRAW
                 # chain / GenerateBYR2, `Codec/bayer.c:9339/13237`); the

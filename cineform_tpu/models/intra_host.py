@@ -643,9 +643,17 @@ def decode_sample_bayer(sample: bytes) -> tuple[np.ndarray, object]:
     return np.clip(rgb, 0, 4095).astype(np.uint16), s
 
 
-def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
-    """Decode an RGB 4:4:4 / RGBA 4:4:4:4 sample back to RG48 / b64a bytes
-    (16-bit components; alpha step curve inverted)."""
+def decode_sample_rgb(sample: bytes,
+                      fourcc: str | None = None) -> tuple[bytes, object]:
+    """Decode an RGB 4:4:4 / RGBA 4:4:4:4 sample to RG48 / b64a bytes,
+    BYTE-EXACT vs the reference decoder.
+
+    The Row16u reconstruction at precision 12 takes no lowpass channel
+    offset (`decoder.c:12296-12302`).  RG48 output keeps the scalar-tail
+    SATURATE_16U values (65535); the b64a writer stays in the 12-bit
+    domain so saturated values cap at 65520 (4095 << 4), with opaque
+    alpha 65520 for 3-channel sources and the inverted alpha step curve
+    (`Codec/frame.c:6699-6706`) for RGBA."""
     from cineform_tpu.entropy import native as entropy_native
 
     s = parse_sample(sample)
@@ -659,24 +667,45 @@ def decode_sample_rgb(sample: bytes) -> tuple[bytes, object]:
             vals, _ = entropy_native.decode_band(
                 b.data, pitchw * b.height, codeset=17, quant=b.quantization)
             bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        ll = c.lowpass
-        for k in (2, 1):
-            lh, hl, hh = bands[k][1], bands[k][2], bands[k][3]
-            ll = xf.dwt2d_inverse(ll, lh, hl, hh, 2 if prescale[k] == 2 else 1)
-        lh, hl, hh = bands[0][1], bands[0][2], bands[0][3]
-        plane = xf.dwt2d_inverse(ll, lh, hl, hh, 1)
-        planes.append(np.clip(plane, 0, 4095))
+        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+        # deep RGB at precision 12 takes no lowpass channel offset
+        # (`decoder.c:12296-12302`); the Row16u chain reproduces the
+        # scalar-tail SATURATE_16U (65535, not 65520) exactly
+        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+        lh, hl, hh = wb[0]
+        low = xf.v26_inverse(ll, hl)
+        high = xf.v26_inverse(lh, hh)
+        planes.append(xf.h26_inverse_to_row16u(low, high, s.precision)
+                      .astype(np.int64))
     g, r, b = planes[0], planes[1], planes[2]
     h, w = g.shape
-    if len(planes) == 4:
-        a = planes[3].astype(np.int64)
-        # invert the alpha step curve (frame.c:6699-6706): curve maps
-        # (0, 4095) -> ((a*223+128)>>8)+256, fixed points at 0 and 4095
-        a_lin = np.clip(((a - 256) * 256 + 111) // 223, 0, 4095)
-        a = np.where(a == 0, 0, np.where(a >= 4095, 4095, a_lin))
-        out = np.stack([np.clip(a, 0, 4095), r, g, b], axis=-1) << 4
+    if fourcc is None:
+        fourcc = "b64a" if len(planes) == 4 else "RG48"
+    if fourcc == "RG48":
+        out = np.stack([r, g, b], axis=-1)
         return out.astype("<u2").tobytes(), s
-    out = np.stack([r, g, b], axis=-1) << 4
+    if fourcc != "b64a":
+        raise ValueError(f"RGB-444 decode to {fourcc!r} is not supported")
+    if len(planes) == 3:
+        # the 3-channel b64a writer stays in the 12-bit domain (cap
+        # 4095 << 4) for the SSE and scalar-tail regions, but the final
+        # right-border pair keeps the Row16u SATURATE_16U value (65535);
+        # the RGBA-4444 path keeps Row16u values everywhere — both
+        # pinned against the binary
+        def cap(p):
+            q = np.minimum(p, 65520)
+            q[:, -2:] = p[:, -2:]
+            return q
+        r, g, b = cap(r), cap(g), cap(b)
+    if len(planes) == 4:
+        # full-16-bit alpha decompand (the Row16u output path's variant
+        # of codec.h:164-165's constants): floor at the 4096 DC offset,
+        # * 9400 >> 13, clamp to 16 bits — fitted 1:1 against the binary
+        a = np.clip((np.maximum(planes[3] - 4096, 0) * 9400) >> 13,
+                    0, 65535)
+    else:
+        a = np.full_like(g, 65520)
+    out = np.stack([a, r, g, b], axis=-1)
     return out.astype("<u2").tobytes(), s
 
 

@@ -328,3 +328,43 @@ def test_decode_output_bgra_near_exact():
     gold = np.frombuffer(_golden("s_320x240_q4_p1.bgraout"), np.uint8).astype(int)
     assert (mine == gold).mean() > 0.99
     assert np.abs(mine - gold).max() <= 32
+
+
+def test_rgb444_decode_byte_exact():
+    """RGB 4:4:4 source decode is BYTE-EXACT vs the reference: the
+    Row16u reconstruction at precision 12 (no lowpass channel offset,
+    `decoder.c:12296`), with per-writer saturation semantics — RG48
+    keeps the scalar-tail SATURATE_16U (65535) while the 3-channel b64a
+    writer stays 12-bit-capped (65520) except the right-border pair."""
+    from cineform_tpu.models.intra_host import decode_sample_rgb
+
+    sample = _golden("rgb444_320x240_q4.cfhd")
+    assert decode_sample_rgb(sample, "RG48")[0] == \
+        _golden("rgb444_320x240_q4.rg48out")
+    assert decode_sample_rgb(sample, "b64a")[0] == \
+        _golden("rgb444_320x240_q4.b64aout")
+
+
+def test_rgba4444_decode_byte_exact():
+    """RGBA 4:4:4:4 source decode is BYTE-EXACT incl. the full-16-bit
+    alpha decompand (floor at 4096, * 9400 >> 13, clamp), for both b64a
+    and RG48 (alpha dropped) outputs."""
+    from cineform_tpu.models.intra_host import decode_sample_rgb
+
+    sample = _golden("rgba4444_320x240_q4.cfhd")
+    assert decode_sample_rgb(sample, "b64a")[0] == \
+        _golden("rgba4444_320x240_q4.b64aout")
+    assert decode_sample_rgb(sample, "RG48")[0] == \
+        _golden("rgba4444_320x240_q4.rg48out")
+
+
+def test_rgb_source_decode_through_api():
+    sample = _golden("rgb444_320x240_q4.cfhd")
+    dec = api.Decoder()
+    dec.prepare_to_decode(0, 0, api.PixelFormat.RG48, sample=sample)
+    assert dec.decode_sample(sample).tobytes() == \
+        _golden("rgb444_320x240_q4.rg48out")
+    dec = api.Decoder()
+    dec.prepare_to_decode(0, 0, api.PixelFormat.B64A, sample=sample)
+    assert dec.decode_sample(sample).tobytes() == \
+        _golden("rgb444_320x240_q4.b64aout")
