@@ -33,7 +33,7 @@ class DevelopParams:
 
     enabled: bool = False
     wb: tuple = (1.0, 1.0, 1.0)
-    matrix: np.ndarray | None = None        # 3x3 (+offsets dropped)
+    matrix: np.ndarray | None = None        # full 3x4 (COLM layout)
     look_crc: int = 0
     gamma: float = 1.0
     flags: int = 0
@@ -72,8 +72,7 @@ def develop_params(sample: bytes,
                 vals = np.array([vals[0], vals[1], vals[3]])
             p.wb = tuple(float(np.clip(v, 0.4, 10.0)) for v in vals[:3])
         elif tag == "COLM" and len(item.payload) >= 48:
-            m = _floats(item, 12).reshape(3, 4)
-            p.matrix = m[:, :3]
+            p.matrix = _floats(item, 12).reshape(3, 4)
         elif tag == "UTYM" and _u32(item):
             p.matrix = None                  # unity matrix bypasses COLM
         elif tag == "LKCR":
@@ -119,7 +118,7 @@ def decode_bayer_developed(sample: bytes,
     if p.enabled:
         rgb = dv.white_balance(rgb, jnp.asarray(p.wb, jnp.float32))
         if p.matrix is not None:
-            rgb = dv.color_matrix(rgb, jnp.asarray(p.matrix, jnp.float32))
+            rgb = dv.color_matrix(rgb, jnp.asarray(p.matrix[:, :3], jnp.float32))
         if p.look_crc and look_db is not None:
             look = look_db.load(p.look_crc)
             if look is not None:

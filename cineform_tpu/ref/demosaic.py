@@ -579,3 +579,26 @@ def demosaic_raw_rg48_wb(G, RG, BG, GD, wb, bayer_format: int = 0,
     rgb = demosaic_raw_rg48(G, RG, BG, GD, bayer_format, sharpening)
     out13 = apply_active_metadata_wb(rgb, wb)
     return np.clip(out13 << 3, 0, 65535).astype(np.uint16)
+
+
+def apply_active_metadata_matrix(rgb16: np.ndarray, matrix,
+                                 curve_base: float = 90.0) -> np.ndarray:
+    """ApplyActiveMetaData's integer 1D-LUT path for a full linear 3x4
+    matrix (COLM + optional WB column gains):
+
+        lin = Curve2Linear[(v16 >> 3) + 16384]
+        n_i = ((lcm[i0]*r + lcm[i1]*g + lcm[i2]*b) >> 13) + lcm[i3]
+        out = Linear2CurveRed[clip(n, -16384, 49151) + 16384]
+
+    lcm = (int)(m * 8192.0); the offset column is 13-bit linear."""
+    c2l = curve2linear_lut(curve_base)
+    l2c = linear2curve_lut(curve_base)
+    m = np.asarray(matrix, np.float64).reshape(3, 4)
+    lcm = np.trunc(m * 8192.0).astype(np.int64)
+
+    v13 = rgb16.astype(np.int64) >> 3
+    lin = c2l[v13 + 16384]
+    n = np.einsum('ij,hwj->hwi', lcm[:, :3], lin) >> 13
+    n = n + lcm[:, 3][None, None, :]
+    n = np.clip(n, -16384, 49151)
+    return l2c[n + 16384]

@@ -97,3 +97,12 @@ def test_bayer_wbal_develop_byte_exact(name):
     sample = _golden(name + ".cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
         _golden(name + ".rg48out")
+
+
+def test_bayer_colm_matrix_byte_exact():
+    """COLM color matrix metadata drives the full linear 3x4 matrix
+    through the same integer 1D-LUT develop stage (lcm = (int)(m*8192),
+    row dot >> 13 + offset, clamps) — byte-exact vs the binary."""
+    sample = _golden("byr4_colm_320x240_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_colm_320x240_q4.rg48out")
