@@ -34,6 +34,8 @@ class DevelopParams:
     enabled: bool = False
     wb: tuple = (1.0, 1.0, 1.0)
     matrix: np.ndarray | None = None        # full 3x4 (COLM layout)
+    saturation: float = 1.0                  # SATU (payload value)
+    exposure: float = 1.0                    # EXPS (payload value)
     look_crc: int = 0
     gamma: float = 1.0
     flags: int = 0
@@ -73,6 +75,10 @@ def develop_params(sample: bytes,
             p.wb = tuple(float(np.clip(v, 0.4, 10.0)) for v in vals[:3])
         elif tag == "COLM" and len(item.payload) >= 48:
             p.matrix = _floats(item, 12).reshape(3, 4)
+        elif tag == "SATU" and len(item.payload) >= 4:
+            p.saturation = float(np.clip(_floats(item, 1)[0], 0.0, 11.0))
+        elif tag == "EXPS" and len(item.payload) >= 4:
+            p.exposure = float(np.clip(_floats(item, 1)[0], 0.0, 11.0))
         elif tag == "UTYM" and _u32(item):
             p.matrix = None                  # unity matrix bypasses COLM
         elif tag == "LKCR":
@@ -89,6 +95,8 @@ def develop_params(sample: bytes,
         p.wb = (1.0, 1.0, 1.0)
     if not (p.flags & PROCESSING_COLORMATRIX):
         p.matrix = None
+        p.saturation = 1.0
+        p.exposure = 1.0
     if not (p.flags & PROCESSING_LOOK_FILE):
         p.look_crc = 0
     if not (p.flags & PROCESSING_GAMMA_TWEAKS):

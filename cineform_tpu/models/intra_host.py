@@ -590,16 +590,10 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         raise ValueError(f"bayer decode to {fourcc!r} is not supported")
 
     p = am.develop_params(sample)
-    # compose the linear develop matrix like NeedCube (bayer.c:4431-4530):
-    # COLM (use_base_matrix defaults to the custom matrix) then white
-    # balance scaling every column j by wb[j] (offsets scale by wb[row])
-    m = np.eye(3, 4) if p.matrix is None else np.asarray(p.matrix,
-                                                         np.float64)
-    if p.enabled and tuple(p.wb) != (1.0, 1.0, 1.0):
-        wb = dm.normalize_white_balance(p.wb)
-        m = m.copy()
-        m[:, :3] *= wb[None, :]
-        m[:, 3] *= wb
+    # compose the linear develop matrix like NeedCube (bayer.c:4431-4530)
+    m = dm.compose_develop_matrix(
+        p.matrix, p.saturation, p.exposure,
+        p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
     if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])):
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
         out13 = dm.apply_active_metadata_matrix(rgb16, m)

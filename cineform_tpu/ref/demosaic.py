@@ -602,3 +602,41 @@ def apply_active_metadata_matrix(rgb16: np.ndarray, matrix,
     n = n + lcm[:, 3][None, None, :]
     n = np.clip(n, -16384, 49151)
     return l2c[n + 16384]
+
+
+def compose_develop_matrix(colm=None, saturation: float = 1.0,
+                           exposure: float = 1.0, wb=None) -> np.ndarray:
+    """NeedCube's linear matrix composition (bayer.c:4431-4530), float32:
+
+    - start from COLM (use_base_matrix defaults to the custom matrix) or
+      identity
+    - saturation blends toward the desat / fullsat matrices
+      (sat = SATU payload; <1 desaturates, >1 amplifies via
+      ((sat-1)/3)*fullsat + ((4-sat)/3)*m)
+    - exposure scales every column
+    - white balance scales column j by wb[j] and the offset of row j by
+      wb[j]
+    """
+    m = np.eye(3, 4, dtype=np.float32) if colm is None else \
+        np.asarray(colm, np.float32).reshape(3, 4).copy()
+    sat = np.float32(saturation)
+    if sat != np.float32(1.0):
+        desat = np.array([[0.309, 0.609, 0.082]] * 3, np.float32)
+        fullsat = np.array([[4.042, -2.681, -0.361],
+                            [-1.358, 2.719, -0.361],
+                            [-1.358, -2.681, 5.039]], np.float32)
+        if sat < 1.0:
+            m[:, :3] = ((np.float32(1.0) - sat) * desat
+                        + sat * m[:, :3]).astype(np.float32)
+        else:
+            m[:, :3] = (((sat - np.float32(1.0)) / np.float32(3.0)) * fullsat
+                        + ((np.float32(4.0) - sat) / np.float32(3.0))
+                        * m[:, :3]).astype(np.float32)
+    exp = np.float32(exposure)
+    if exp != np.float32(1.0):
+        m = (m * exp).astype(np.float32)
+    if wb is not None:
+        wbn = normalize_white_balance(wb).astype(np.float32)
+        m[:, :3] = (m[:, :3] * wbn[None, :]).astype(np.float32)
+        m[:, 3] = (m[:, 3] * wbn).astype(np.float32)
+    return m.astype(np.float64)

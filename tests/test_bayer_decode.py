@@ -106,3 +106,13 @@ def test_bayer_colm_matrix_byte_exact():
     sample = _golden("byr4_colm_320x240_q4.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
         _golden("byr4_colm_320x240_q4.rg48out")
+
+
+def test_bayer_saturation_exposure_byte_exact():
+    """SATU + EXPS compose into the linear develop matrix exactly like
+    NeedCube (float32 fullsat blend for sat > 1, exposure scaling every
+    column) before the integer 1D-LUT stage — byte-exact vs the binary
+    (COLM + SATU 1.4 + EXPS 1.2 sample)."""
+    sample = _golden("byr4_satexp_320x240_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_satexp_320x240_q4.rg48out")
