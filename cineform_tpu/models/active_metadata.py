@@ -24,7 +24,7 @@ PROCESSING_ACTIVE = 1 << 0
 PROCESSING_COLORMATRIX = 1 << 1
 PROCESSING_WHITEBALANCE = 1 << 2
 PROCESSING_LOOK_FILE = 1 << 3
-PROCESSING_GAMMA_TWEAKS = 1 << 6
+PROCESSING_GAMMA_TWEAKS = 1 << 5   # CFHDMetadataTags.h:31
 
 
 @dataclass
@@ -38,6 +38,7 @@ class DevelopParams:
     exposure: float = 1.0                    # EXPS (payload value)
     look_crc: int = 0
     gamma: float = 1.0
+    rgb_gamma: tuple = (1.0, 1.0, 1.0)       # GAMT per-channel tweaks
     flags: int = 0
 
 
@@ -84,9 +85,13 @@ def develop_params(sample: bytes,
         elif tag == "LKCR":
             p.look_crc = _u32(item)
         elif tag == "GAMT" and len(item.payload) >= 4:
-            g = float(_floats(item, 1)[0])
-            if 0.2 <= g <= 5.0:
-                p.gamma = g
+            n = min(len(item.payload) // 4, 3)
+            vals = [float(np.clip(v, 0.01, 10.0)) for v in _floats(item, n)]
+            while len(vals) < 3:
+                vals.append(vals[-1])
+            p.rgb_gamma = tuple(vals)
+            if 0.2 <= vals[0] <= 5.0:
+                p.gamma = vals[0]
 
     p.enabled = bool(p.flags & PROCESSING_ACTIVE)
     if not p.enabled:
@@ -101,6 +106,7 @@ def develop_params(sample: bytes,
         p.look_crc = 0
     if not (p.flags & PROCESSING_GAMMA_TWEAKS):
         p.gamma = 1.0
+        p.rgb_gamma = (1.0, 1.0, 1.0)
     return p
 
 

@@ -594,9 +594,14 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     m = dm.compose_develop_matrix(
         p.matrix, p.saturation, p.exposure,
         p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
+    gamma_active = p.enabled and tuple(p.rgb_gamma) != (1.0, 1.0, 1.0)
     if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])):
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
         out13 = dm.apply_active_metadata_matrix(rgb16, m)
+        rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
+    elif gamma_active:
+        rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
+        out13 = dm.apply_gamma_tweaks(rgb16, p.rgb_gamma)
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     else:
         rgb = dm.demosaic_raw_rg48(G, RG, BG, GD)

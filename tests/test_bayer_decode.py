@@ -116,3 +116,13 @@ def test_bayer_saturation_exposure_byte_exact():
     sample = _golden("byr4_satexp_320x240_q4.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
         _golden("byr4_satexp_320x240_q4.rg48out")
+
+
+def test_bayer_gamma_tweaks_byte_exact():
+    """GAMT per-channel gamma tweaks run the GammaContrast 1D LUTs
+    (Build1DLinear2Curves, bayer.c:5322: pow with the exponent
+    1/(double)(float)gamma, *8192 float truncation) — byte-exact vs the
+    binary (gammas 1.2/1.0/0.9)."""
+    sample = _golden("byr4_gamt_320x240_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_gamt_320x240_q4.rg48out")
