@@ -751,12 +751,14 @@ class Decoder:
                 # sample header reports mosaic-half channel dims
                 fourcc = {PixelFormat.RG48: "RG48",
                           PixelFormat.B64A: "b64a",
+                          PixelFormat.YUY2: "YUY2",
+                          PixelFormat.UYVY: "2vuy",
                           PixelFormat.BYR4: "BYR4"}.get(self.output_format)
                 if fourcc is None:
                     raise CFHDError(
                         ErrorCode.BADFORMAT,
                         f"Bayer decode to {self.output_format!r} (RG48, "
-                        f"b64a and BYR4 outputs are supported)")
+                        f"b64a, YUY2, 2vuy and BYR4 outputs)")
                 out = intra_host.decode_sample_bayer_to(sample, fourcc)
             elif info0 is not None and (self.width, self.height) != \
                     (info0.width, info0.height):

@@ -586,6 +586,24 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         out[1::2, 0::2] = g2
         out[1::2, 1::2] = b
         return out.astype("<u2").tobytes()
+    if fourcc in ("YUY2", "2vuy"):
+        # 8-bit outputs use the bilinear (non-hq, unsharpened) debayer
+        # then the deterministic YUYV conversion — byte-exact
+        p = am.develop_params(sample)
+        m = dm.compose_develop_matrix(
+            p.matrix, p.saturation, p.exposure,
+            p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
+        rgb = dm.demosaic_bilinear_rgb(G, RG, BG, GD)
+        h2 = rgb.shape[0]
+        parity = dm.bayer_yuyv_parity(h2)
+        if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])):
+            out13 = dm.apply_active_metadata_matrix(
+                np.clip(rgb, 0, 65535).astype(np.uint16), m)
+            return dm.convert_rgb16_to_yuyv(out13, parity=parity,
+                                            whitepoint=13,
+                                            uyvy=(fourcc == "2vuy"))
+        return dm.convert_rgb16_to_yuyv(rgb, parity=parity,
+                                        uyvy=(fourcc == "2vuy"))
     if fourcc not in ("RG48", "b64a"):
         raise ValueError(f"bayer decode to {fourcc!r} is not supported")
 

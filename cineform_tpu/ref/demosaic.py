@@ -662,3 +662,135 @@ def apply_gamma_tweaks(rgb16: np.ndarray, rgb_gamma) -> np.ndarray:
     v13 = rgb16.astype(np.int64) >> 3
     return np.stack([gamma_contrast_lut(g)[v13[..., c] + 16384]
                      for c, g in enumerate(rgb_gamma)], axis=-1)
+
+
+# RGB -> YUV coefficient tables (bayer.c:446-469), 1.15 fixed point
+_RGB2YUV_709 = ((0.183, 0.614, 0.062), (-0.101, -0.338, 0.439),
+                (0.439, -0.399, -0.040))
+_RGB2YUV_601 = ((0.257, 0.504, 0.098), (-0.148, -0.291, 0.439),
+                (0.439, -0.368, -0.071))
+_RGB2YUV_VS709 = ((0.213, 0.715, 0.072), (-0.117, -0.394, 0.511),
+                  (0.511, -0.464, -0.047))
+_RGB2YUV_VS601 = ((0.299, 0.587, 0.114), (-0.172, -0.339, 0.511),
+                  (0.511, -0.428, -0.083))
+
+
+def convert_rgb16_to_yuyv(rgb16: np.ndarray, linenum0: int = 0,
+                          coeffs=_RGB2YUV_709, uyvy: bool = False,
+                          parity=None, whitepoint: int = 16) -> bytes:
+    """ConvertLinesToOutput's YUYV branch for 16-bit RGB input
+    (bayer.c:3200-3400, NEWDITHER=0 so fully deterministic): rows >>3 to
+    13 bits, 1.15 mulhi color matrix with saturating adds, the fixed
+    per-lane ordered dither (luma pattern swaps with row parity), 4:2:2
+    chroma down-filter as current+previous lane WITHIN each 8-pixel SSE
+    block (lane 0 of every block adds 0), >>4 (+16) luma / >>5 (+128)
+    chroma, and the +0x7f00 byte clamp."""
+    h, w = rgb16.shape[:2]
+    assert w % 8 == 0, "SSE-only path (width multiple of 8)"
+
+    def sat16(v):
+        return np.clip(v, -32768, 32767)
+
+    def mulhi(a, coeff):
+        c = int(np.trunc(np.float32(coeff) * np.float32(32768.0)))
+        prod = a * c
+        return prod >> 16
+
+    if whitepoint == 16:
+        v13 = rgb16.astype(np.int64) >> 3
+        yoffset = 16
+    else:
+        # 13-bit signed input (post-ApplyActiveMetaData).  The whitepoint
+        # 13 path selects the VIDEO-SAFE matrix with cg2vs range
+        # conversion first (ConvertCGRGBtoVSRGB, convert.c:12045:
+        # mulhi by 32767*219/255, <<1, +512 saturating) and yoffset 0
+        v = rgb16.astype(np.int64)
+        v = sat16((((v * 28141) >> 16) << 1) + 512)
+        # then the saturate clamp [0, 0x1fff]
+        t = sat16(v + (0x7FFF - 0x1FFF))
+        v13 = np.maximum(np.asarray(t) & 0xFFFF, 0x7FFF - 0x1FFF) \
+            - (0x7FFF - 0x1FFF)
+        coeffs = _RGB2YUV_VS709 if coeffs is _RGB2YUV_709 else coeffs
+        yoffset = 0
+    r, g, b = v13[..., 0], v13[..., 1], v13[..., 2]
+
+    def channel(cs):
+        return sat16(sat16(mulhi(r, cs[0]) + mulhi(g, cs[1]))
+                     + mulhi(b, cs[2]))
+
+    y = channel(coeffs[0])
+    u = channel(coeffs[1])
+    v = channel(coeffs[2])
+
+    def blockprev(x):
+        p = np.zeros_like(x)
+        p[:, 1:] = x[:, :-1]
+        p[:, 0::8] = 0
+        return p
+
+    u = sat16(u + blockprev(u))
+    v = sat16(v + blockprev(v))
+
+    # ordered dither lanes (_mm_set_epi16 args are HIGH-to-LOW;
+    # bayer.c:3222-3232 — the luma/chroma patterns swap on odd rows)
+    d_y_odd = np.array([9, 7, 11, 5, 13, 3, 15, 1])
+    d_y_even = np.array([1, 15, 3, 13, 5, 11, 7, 9])
+    d_a = np.array([18, 14, 22, 10, 26, 6, 30, 2])
+    d_b = np.array([2, 30, 6, 26, 10, 22, 14, 18])
+    if parity is None:
+        rows = ((np.arange(h) + linenum0) & 1)[:, None]
+    else:
+        rows = (np.asarray(parity).reshape(h) & 1)[:, None]
+    dy = np.where(rows == 1, np.tile(d_y_odd, w // 8),
+                  np.tile(d_y_even, w // 8))
+    # the chroma patterns swap with row parity: odd rows U=d_a/V=d_b,
+    # even rows U=d_b/V=d_a
+    du = np.where(rows == 1, np.tile(d_a, w // 8), np.tile(d_b, w // 8))
+    dv = np.where(rows == 1, np.tile(d_b, w // 8), np.tile(d_a, w // 8))
+
+    y = sat16(sat16(y + dy) >> 4)
+    y = sat16(y + yoffset)
+    u = sat16(sat16(u + du) >> 5) + 128
+    v = sat16(sat16(v + dv) >> 5) + 128
+
+    def clamp255(x):
+        t = np.asarray(sat16(x + (0x7FFF - 0xFF))) & 0xFFFF
+        return np.maximum(t, 0x7FFF - 0xFF) - (0x7FFF - 0xFF)
+
+    y = clamp255(y)
+    u = clamp255(u)
+    v = clamp255(v)
+
+    out = np.empty((h, w, 2), np.uint8)
+    if uyvy:
+        out[:, 0::2, 0] = u[:, 1::2]
+        out[:, 0::2, 1] = y[:, 0::2]
+        out[:, 1::2, 0] = v[:, 1::2]
+        out[:, 1::2, 1] = y[:, 1::2]
+    else:
+        out[:, 0::2, 0] = y[:, 0::2]
+        out[:, 0::2, 1] = u[:, 1::2]
+        out[:, 1::2, 0] = y[:, 1::2]
+        out[:, 1::2, 1] = v[:, 1::2]
+    return out.tobytes()
+
+
+def demosaic_bilinear_rgb(G, RG, BG, GD, bayer_format: int = 0) -> np.ndarray:
+    """The 8-bit output demosaic: highquality=0 (bilinear 3x3 bracket),
+    no sharpening — what DemosaicRAW uses for YUY2/RGB24-class outputs
+    (debayerfilter default 0 -> "bilinear", sharpening -1)."""
+    bayer = color_difference_to_bayer(G, RG, BG, GD, bayer_format)
+    h2, w2 = bayer.shape
+    rgb = np.zeros((h2, w2, 3), np.int64)
+    for y in range(h2 // 2):
+        rgb[2 * y:2 * y + 2] = debayer_line_red_grn(
+            bayer, 2 * y, highquality=0, sharpening=-1)
+    return rgb
+
+
+def bayer_yuyv_parity(height: int) -> np.ndarray:
+    """Output-row dither parity for the Bayer YUY2 path: DemosaicRAW
+    calls ConvertLinesToOutput(width*2, 2, y) once per MOSAIC row, so
+    output row t uses lines = y + (t & 1) -> parity (t//2 + t%2) & 1."""
+    t = np.arange(height)
+    return ((t // 2) + (t & 1)) & 1

@@ -126,3 +126,24 @@ def test_bayer_gamma_tweaks_byte_exact():
     sample = _golden("byr4_gamt_320x240_q4.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
         _golden("byr4_gamt_320x240_q4.rg48out")
+
+
+def test_bayer_decode_yuy2_byte_exact():
+    """Bayer -> YUY2: the 8-bit output path (bilinear non-hq debayer, no
+    sharpening) with the deterministic YUYV conversion — 1.15 mulhi
+    RGB2YUV (CG 709), fixed ordered dither lanes with the row-parity
+    luma/chroma swaps, per-SSE-block 4:2:2 down-filter, and the mosaic-
+    row dither parity (ConvertLinesToOutput height=2 per mosaic row).
+    NEWDITHER is compiled out, so the path is fully deterministic."""
+    sample = _golden("byr4_320x240_q4_p1.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "YUY2") == \
+        _golden("byr4_320x240_q4_p1.yuy2out")
+
+
+def test_bayer_decode_yuy2_with_develop_byte_exact():
+    """Bayer -> YUY2 with WBAL develop: the whitepoint-13 branch runs
+    ConvertCGRGBtoVSRGB (mulhi 28141, <<1, +512) and the VIDEO-SAFE 709
+    matrix with yoffset 0 — byte-exact vs the binary."""
+    sample = _golden("byr4_wbal_320x240_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "YUY2") == \
+        _golden("byr4_wbal_320x240_q4.yuy2out")
