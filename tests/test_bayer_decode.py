@@ -147,3 +147,9 @@ def test_bayer_decode_yuy2_with_develop_byte_exact():
     sample = _golden("byr4_wbal_320x240_q4.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "YUY2") == \
         _golden("byr4_wbal_320x240_q4.yuy2out")
+
+
+def test_bayer_decode_2vuy_byte_exact():
+    sample = _golden("byr4_320x240_q4_p1.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "2vuy") == \
+        _golden("byr4_320x240_q4_p1.2vuyout")
