@@ -203,16 +203,66 @@ def decode_group_deep16(sample: bytes, deep_yuv: bool = True,
 
 def decode_group_to(sample: bytes, fourcc: str, frame: int = 0) -> bytes:
     """Decode one GROUP frame to an alternate output format (the same
-    deep-output packers as the intra path; YU64/v210/RG48/... are
+    deep-output packers as the intra path; YU64/v210/RG48/BGRA/... are
     byte-exact vs the reference decoding the GROUP sample)."""
     if fourcc == "2vuy":
         f0, f1 = decode_group(sample)
         a = np.frombuffer(f0 if frame == 0 else f1,
                           np.uint8).reshape(-1, 4)
         return np.ascontiguousarray(a[:, [1, 0, 3, 2]]).tobytes()
+    if fourcc == "BGRA":
+        return decode_group_bgra(sample, frame)
     return intra_host.pack_deep_output(
         fourcc, decode_group_deep16(sample, deep_yuv=True, frame=frame),
         lambda: decode_group_deep16(sample, deep_yuv=False, frame=frame))
+
+
+def decode_group_bgra(sample: bytes, frame: int = 0) -> bytes:
+    """BYTE-EXACT GROUP BGRA decode: the GOP pyramid down to the final
+    v26 strips (+48 absolute lowpass offset), then the fused
+    PackedRGB32 kernel (ref.intra.strip_to_bgra,
+    `InvertHorizontalStripYUV16sToPackedRGB32`); rows bottom-up."""
+    from cineform_tpu.models.intra_host import lowpass_offset_absolute
+
+    s = parse_sample(sample)
+    strips = []
+    for ci, c in enumerate(s.channels):
+        bands: dict[int, dict] = {0: {}, 1: {}, 3: {}, 4: {}, 5: {}}
+        for b in c.bands:
+            if b.subband in (255, 0):
+                continue
+            widx, slot = SUBBAND_MAP[b.subband]
+            if getattr(b, "encoding", tags.BAND_ENCODING_RUNLENGTHS) == \
+                    tags.BAND_ENCODING_16BIT:
+                raw = np.frombuffer(b.data[:b.width * b.height * 2], ">i2")
+                bands[widx][slot] = raw.reshape(
+                    b.height, b.width).astype(np.int32) * b.quantization
+                continue
+            codeset = 18 if b.coding_flags == 18 else 17
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=codeset,
+                quant=b.quantization)
+            bands[widx][slot] = vals.reshape(b.height, pitchw)[:, :b.width]
+        wb = {k: tuple(v[i] for i in sorted(v)) for k, v in bands.items()}
+        off = lowpass_offset_absolute(c.lowpass.shape[1], False,
+                                      num_frames=2)
+        lp = (c.lowpass + off).astype(c.lowpass.dtype)
+        ll4 = xf.dwt2d_inverse(lp, *wb[5], descale=1, bottom_shift=True)
+        tlow = xf.dwt2d_inverse(ll4, *wb[4], descale=2)
+        thigh = xf.dwt2d_inverse(wb[3][0], *wb[3][1:], descale=1,
+                                 bottom_shift=True)
+        if frame == 0:
+            ll = xf.sat16(tlow.astype(np.int64) - thigh) >> 1
+            lh, hl, hh = wb[0]
+        else:
+            ll = xf.sat16(tlow.astype(np.int64) + thigh) >> 1
+            lh, hl, hh = wb[1]
+        strips.append((xf.v26_inverse(ll.astype(np.int32), hl),
+                       xf.v26_inverse(lh, hh)))
+    (yl, yh), (c1l, c1h), (c2l, c2h) = strips
+    out = xf.strip_to_bgra(yl, yh, c2l, c2h, c1l, c1h, s.precision)
+    return out[::-1].tobytes()
 
 
 def sequence_header(width: int, height: int,

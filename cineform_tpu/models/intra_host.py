@@ -878,8 +878,41 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         a = np.frombuffer(yuy2, np.uint8).reshape(-1, 4)
         out = a[:, [1, 0, 3, 2]]
         return np.ascontiguousarray(out).tobytes()
+    if fourcc == "BGRA":
+        return decode_sample_bgra(sample)
     return pack_deep_output(fourcc, decode_sample_deep16(sample),
                             lambda: _decode_deep16_rgbbias(sample))
+
+
+def decode_sample_bgra(sample: bytes) -> bytes:
+    """BYTE-EXACT BGRA decode: the fused final-level horizontal inverse
+    + YUV->RGB kernel (`InvertHorizontalStripYUV16sToPackedRGB32`,
+    `Codec/spatial.c:29577`) modeled exactly in ref.intra.strip_to_bgra,
+    fed the v26 vertical-inverse strips with the default +24 lowpass
+    channel offset; RGB32 rows are written bottom-up."""
+    from cineform_tpu.entropy import native as entropy_native
+
+    s = parse_sample(sample)
+    prescale = intra_prescale(s.precision)[:3]
+    strips = []
+    for c in s.channels:
+        bands: list[dict] = [dict() for _ in range(3)]
+        for b in c.bands:
+            widx = 2 - (b.subband - 1) // 3
+            pitchw = align16_pixels(b.width)
+            vals, _ = entropy_native.decode_band(
+                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
+            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
+        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+        off = lowpass_offset_absolute(c.lowpass.shape[1], False, 1)
+        lp = (c.lowpass + off).astype(c.lowpass.dtype)
+        ll = xf.inverse_channel_to_16s(lp, wb, prescale)
+        lh, hl, hh = wb[0]
+        strips.append((xf.v26_inverse(ll, hl), xf.v26_inverse(lh, hh)))
+    (yl, yh), (c1l, c1h), (c2l, c2h) = strips
+    # the kernel maps u <- channel 2 and v <- channel 1 (spatial.c:29585)
+    out = xf.strip_to_bgra(yl, yh, c2l, c2h, c1l, c1h, s.precision)
+    return out[::-1].tobytes()
 
 
 def pack_deep_output(fourcc: str, planes_yuv: list[np.ndarray],
@@ -935,30 +968,6 @@ def pack_deep_output(fourcc: str, planes_yuv: list[np.ndarray],
             out[..., 2] = g16
             out[..., 3] = b16
             return out.astype("<u2").tobytes()
-        if fourcc == "BGRA":
-            # BGRA uses the separate fused PackedRGB32 kernel
-            # (`InvertHorizontalStripYUV16sToPackedRGB32`,
-            # `Codec/spatial.c:29577`), fitted against the kernel driven
-            # directly: 8-bit reconstruction floor(v2>>3), luma clamped
-            # via subs_epu16(y8, 16), chroma replicated per pixel pair,
-            # 8-bit CG709 coefficients (149/230/137/55/270) — >99.5%
-            # byte-exact; a residual +-1 rounding interaction in the SSE
-            # lanes remains open
-            y8 = planes[0] >> 8
-            v8 = planes[1][:, np.arange(w) >> 1] >> 8
-            u8 = planes[2][:, np.arange(w) >> 1] >> 8
-            yy = np.maximum(y8 - 16, 0)
-            vv = v8 - 128
-            uu = u8 - 128
-            r8 = np.clip((149 * yy + 230 * vv + 64) >> 7, 0, 255)
-            b8 = np.clip((149 * yy + 270 * uu + 64) >> 7, 0, 255)
-            g8 = np.clip((298 * yy - 137 * vv - 55 * uu + 131) >> 8, 0, 255)
-            bgra = np.empty((h, w, 4), np.uint8)
-            bgra[..., 0] = b8.astype(np.uint8)
-            bgra[..., 1] = g8.astype(np.uint8)
-            bgra[..., 2] = r8.astype(np.uint8)
-            bgra[..., 3] = 255
-            return bgra[::-1].tobytes()  # RGB32 output rows are inverted
         r, g, b = r16 >> 6, g16 >> 6, b16 >> 6
         if fourcc == "AR10":
             word = (r.astype(np.uint32) << 20) | (g << 10) | b

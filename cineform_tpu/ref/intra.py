@@ -878,3 +878,162 @@ def unpack_byr4(raw: bytes | np.ndarray, width: int, height: int,
     bg = ((b - g) >> 1) + 2048
     dg = (g1 - g2 + 4096) >> 1
     return [p.astype(_I32) for p in (g, rg, bg, dg)]
+
+
+def strip_to_bgra(y_low, y_high, u_low, u_high, v_low, v_high,
+                  precision: int = 10) -> np.ndarray:
+    """Fused final-level horizontal inverse + YUV->RGB for 8-bit BGRA
+    output: exact model of `InvertHorizontalStripYUV16sToPackedRGB32`
+    (`Codec/spatial.c:29577`), CG 709 coefficients
+    (`ComputeColorCoefficientsYUVToRGB`, `Codec/dither.c:264`).
+
+    The row is produced in three regimes, all replicated:
+    - SSE fast region (pairs 0 .. post_column-1): saturating int16 filter
+      lanes (subs/adds, the +2048/subs_epu16 zero clamp, srai), logical
+      >>2 descale, then the staged conversion — yy = ((y8-16 clamped to
+      [0,255]) << 7 mulhi 19072 << 1), r/g/b via mullo with srai
+      pre-shifts, +32, srai 6, packus saturation.  Chroma is NOT
+      interpolated: output pixel p uses chroma stream value p/2 (each
+      chroma filter output covers two pixels).
+    - scalar mid region (post_column .. width-2): plain integer filters
+      and the direct integer conversion ((y-16)*19072 >> 7 etc.).
+    - borders: the 11/-4/1 and 5/4/-1 formulas at both ends, with the
+      right border pairing chroma border values per the last_y[0..3]
+      block (spatial.c:31143-31330).
+
+    Inputs are the v26 vertical-inverse rows per channel (y at full
+    lowpass width, u/v at half).  Returns (h, 2*y_width, 4) uint8 BGRA
+    rows (not flipped; RGB32 output is written bottom-up by the caller).
+    """
+    descale = precision - 8
+    ymult, r_vmult, g_vmult, g_umult, b_umult = 19072, 230, 137, 55, 135
+    luma_offset, chroma_offset = 16, 128
+
+    def sat16(v):
+        return np.clip(v, -32768, 32767)
+
+    def subs_epu16(x, y):
+        return np.maximum((np.asarray(x) & 0xFFFF) - y, 0)
+
+    def sse_pairs(low, high):
+        """Saturating SSE filter for interior pairs: returns (even, odd)
+        arrays over filter indices 1..n-2 (taps centered at low[j])."""
+        lm1, l0, lp1 = low[:, :-2], low[:, 1:-1], low[:, 2:]
+        h0 = high[:, 1:-1]
+        e = sat16(sat16(sat16(lm1.astype(np.int64) - lp1) + 4) >> 3)
+        e = sat16(e + l0)
+        e = subs_epu16(sat16(sat16(e + 2048) + h0), 2048) >> 1
+        o = sat16(sat16(sat16(lp1.astype(np.int64) - lm1) + 4) >> 3)
+        o = sat16(o + l0)
+        o = subs_epu16(sat16(sat16(o + 2048) - h0), 2048) >> 1
+        # logical >>2 on the uint16 lane
+        return (e & 0xFFFF) >> descale, (o & 0xFFFF) >> descale
+
+    def scalar_pairs(low, high):
+        """Plain integer filter (scalar mid region), full precision."""
+        lm1, l0, lp1 = low[:, :-2], low[:, 1:-1], low[:, 2:]
+        h0 = high[:, 1:-1]
+        e = (((lm1.astype(np.int64) - lp1 + 4) >> 3) + l0 + h0) >> 1
+        o = (((lp1.astype(np.int64) - lm1 + 4) >> 3) + l0 - h0) >> 1
+        return e >> descale, o >> descale
+
+    def border_left(low, high):
+        e = ((11 * low[:, 0].astype(np.int64) - 4 * low[:, 1]
+              + low[:, 2] + 4) >> 3)
+        e = ((e + high[:, 0]) >> 1) >> descale
+        o = ((5 * low[:, 0].astype(np.int64) + 4 * low[:, 1]
+              - low[:, 2] + 4) >> 3)
+        o = ((o - high[:, 0]) >> 1) >> descale
+        return e, o
+
+    def border_right(low, high):
+        e = ((5 * low[:, -1].astype(np.int64) + 4 * low[:, -2]
+              - low[:, -3] + 4) >> 3)
+        e = ((e + high[:, -1]) >> 1) >> descale
+        o = ((11 * low[:, -1].astype(np.int64) - 4 * low[:, -2]
+              + low[:, -3] + 4) >> 3)
+        o = ((o - high[:, -1]) >> 1) >> descale
+        return e, o
+
+    h, width = y_low.shape          # width = luma band width (pairs)
+    cwidth = u_low.shape[1]
+    last_column = width - 2
+    post_column = width - (width % 16)
+    while post_column > last_column - 2:
+        post_column -= 16
+
+    def stream(low, high, n, post):
+        """Per-pair value stream: [border_e, border_o, f(1).e, f(1).o,
+        ...]: SSE semantics for filters 1..post-1, scalar for the rest,
+        border formulas at both ends.  Returns (h, 2n)."""
+        s = np.zeros((h, 2 * n), np.int64)
+        be, bo = border_left(low, high)
+        s[:, 0], s[:, 1] = be, bo
+        se, so = sse_pairs(low, high)      # filters 1..n-2
+        sce, sco = scalar_pairs(low, high)
+        for j in range(1, n - 1):
+            if j < post:
+                s[:, 2 * j], s[:, 2 * j + 1] = se[:, j - 1], so[:, j - 1]
+            else:
+                s[:, 2 * j], s[:, 2 * j + 1] = sce[:, j - 1], sco[:, j - 1]
+        re, ro = border_right(low, high)
+        s[:, 2 * n - 2], s[:, 2 * n - 1] = re, ro
+        return s
+
+    yv = stream(np.asarray(y_low, np.int64), np.asarray(y_high, np.int64),
+                width, post_column)
+    uv = stream(np.asarray(u_low, np.int64), np.asarray(u_high, np.int64),
+                cwidth, post_column // 2)
+    vv = stream(np.asarray(v_low, np.int64), np.asarray(v_high, np.int64),
+                cwidth, post_column // 2)
+
+    w_out = 2 * width
+    px = np.arange(w_out)
+    uu = uv[:, px // 2]
+    vx = vv[:, px // 2]
+
+    sse_px = px < 2 * post_column
+
+    # --- SSE conversion (saturating staged math on int16 lanes) ---------
+    def as_i16(v):
+        v = np.asarray(v, np.int64) & 0xFFFF
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    y16 = as_i16(yv)
+    u16 = as_i16(uu)
+    v16 = as_i16(vx)
+    lim = 0x7FFF - 0xFF
+    yy = subs_epu16(sat16(sat16(y16 - luma_offset) + lim), lim)
+    uc = subs_epu16(sat16(u16 + lim), lim)
+    vc = subs_epu16(sat16(v16 + lim), lim)
+    uc = sat16(uc - chroma_offset)
+    vc = sat16(vc - chroma_offset)
+    yy = (yy << 7) & 0xFFFF
+    yy = np.where(yy >= 0x8000, yy - 0x10000, yy)
+    yy = ((yy * ymult) >> 16) << 1
+    def mullo(a, c):
+        p = (np.asarray(a, np.int64) * c) & 0xFFFF
+        return np.where(p >= 0x8000, p - 0x10000, p)
+    r_sse = sat16(sat16(yy + (mullo(vc, r_vmult) >> 1)) + 32) >> 6
+    g_sse = sat16(sat16(sat16(yy - (mullo(vc, g_vmult) >> 2))
+                        - (mullo(uc, g_umult) >> 2)) + 32) >> 6
+    b_sse = sat16(sat16(yy + mullo(uc, b_umult)) + 32) >> 6
+
+    # --- scalar conversion ----------------------------------------------
+    ys = (yv - luma_offset) * ymult >> 7
+    us = uu - chroma_offset
+    vs = vx - chroma_offset
+    r_scl = (ys + r_vmult * vs + 64) >> 7
+    g_scl = (2 * ys - g_umult * us - g_vmult * vs + 128) >> 8
+    b_scl = (ys + 2 * b_umult * us + 64) >> 7
+
+    r = np.where(sse_px, r_sse, r_scl)
+    g = np.where(sse_px, g_sse, g_scl)
+    b = np.where(sse_px, b_sse, b_scl)
+
+    out = np.empty((h, w_out, 4), np.uint8)
+    out[..., 0] = np.clip(b, 0, 255)
+    out[..., 1] = np.clip(g, 0, 255)
+    out[..., 2] = np.clip(r, 0, 255)
+    out[..., 3] = 255
+    return out

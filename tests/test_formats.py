@@ -318,16 +318,19 @@ def test_decode_narrow_width_yuy2_byte_exact():
     assert out == _golden("s_144x96_q4_p1.yuy2")
 
 
-def test_decode_output_bgra_near_exact():
-    """BGRA (the fused PackedRGB32 kernel, spatial.c:29577), fitted
-    directly against the kernel: >99.5% byte-exact with a residual +-1
-    rounding interaction open."""
+def test_decode_output_bgra_byte_exact():
+    """BGRA: BYTE-EXACT — the fused final-level horizontal inverse +
+    YUV->RGB kernel (`InvertHorizontalStripYUV16sToPackedRGB32`,
+    spatial.c:29577) modeled exactly: saturating SSE filter lanes with
+    the +2048/subs_epu16 zero clamp and logical descale, the staged
+    (<<7 mulhi 19072 <<1) conversion with mullo/srai coefficient
+    pre-shifts in the fast region, plain integer filters + direct
+    conversion in the scalar mid region, and the border bracket with the
+    right-edge chroma pairing."""
     from cineform_tpu.models.intra_host import decode_sample_to
     sample = _golden("s_320x240_q4_p1.cfhd")
-    mine = np.frombuffer(decode_sample_to(sample, "BGRA"), np.uint8).astype(int)
-    gold = np.frombuffer(_golden("s_320x240_q4_p1.bgraout"), np.uint8).astype(int)
-    assert (mine == gold).mean() > 0.99
-    assert np.abs(mine - gold).max() <= 32
+    assert decode_sample_to(sample, "BGRA") == \
+        _golden("s_320x240_q4_p1.bgraout")
 
 
 def test_rgb444_decode_byte_exact():

@@ -353,3 +353,12 @@ def test_gop_frame_header_sample_without_group_raises():
     dec.prepare_to_decode(320, 240, api.PixelFormat.YUY2, sample=grp)
     with pytest.raises(api.CFHDError):
         dec.decode_sample(tiny)
+
+
+def test_gop_bgra_decode_byte_exact():
+    """GOP BGRA output: the GOP pyramid strips (+48 absolute offset)
+    through the exact fused PackedRGB32 kernel (ref.intra.strip_to_bgra)
+    — byte-exact vs the reference decoding the GROUP sample."""
+    grp = _golden("gop_320x240_q4_p1.cfhd.f1")
+    assert gop_host.decode_group_to(grp, "BGRA") == \
+        _golden("gop_320x240_q4_p1.bgraout")
