@@ -48,7 +48,7 @@ def cmd_decode(a) -> int:
     sample = open(a.input, "rb").read()
     dec = api.Decoder()
     w, h, _ = dec.prepare_to_decode(
-        0, 0, _fmt(a.format),
+        a.width, a.height, _fmt(a.format),
         resolution=api.DecodedResolution(a.resolution), sample=sample)
     out = dec.decode_sample(sample)
     open(a.output, "wb").write(out.tobytes())
@@ -154,6 +154,9 @@ def main() -> int:
     d.add_argument("input"), d.add_argument("output")
     d.add_argument("--format", default="YUY2")
     d.add_argument("--resolution", type=int, default=1)
+    d.add_argument("--width", type=int, default=0,
+                   help="explicit output width (Lanczos scaling)")
+    d.add_argument("--height", type=int, default=0)
 
     r = sub.add_parser("roundtrip")
     r.add_argument("--width", type=int, default=1920)
