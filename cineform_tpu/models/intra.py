@@ -148,6 +148,27 @@ class IntraCodec:
             for ch, (lowpass, bands) in enumerate(coeffs)]
         return ops.pack_yuy2(*planes)
 
+    @partial(jax.jit, static_argnums=0)
+    def inverse_bgra(self, coeffs):
+        """Per-channel (lowpass, bands) -> (B, H, W, 4) uint8 BGRA rows
+        (bottom-up flip applied): the device port of the fused
+        PackedRGB32 kernel (ops.bgra_jax), fed the final-level strips
+        with the default +24 lowpass channel offset (+5 at odd lowpass
+        widths, `Codec/decoder.c:12258`)."""
+        from cineform_tpu.models.intra_host import lowpass_offset_absolute
+        from cineform_tpu.ops import bgra_jax
+
+        p = self.params
+        strips = []
+        for ch, (lowpass, bands) in enumerate(coeffs):
+            off = lowpass_offset_absolute(int(lowpass.shape[-1]), False, 1)
+            strips.append(ops.inverse_channel_strips(
+                lowpass + off, bands, p.prescale))
+        (yl, yh), (c1l, c1h), (c2l, c2h) = strips
+        out = bgra_jax.strip_to_bgra(yl, yh, c2l, c2h, c1l, c1h,
+                                     p.precision)
+        return out[..., ::-1, :, :]
+
     # --- fully device-side encode: transform + quant + entropy pack ---------
 
     @partial(jax.jit, static_argnums=(0, 2))
@@ -308,7 +329,8 @@ class IntraCodec:
         return co, ovf.reshape(batch, -1).any(axis=1)
 
     def _decode_device_program(self, pay, nch, qn, lin, lowpass,
-                               batch: int, frame_index: int):
+                               batch: int, frame_index: int,
+                               output: str = "YUY2"):
         """Per-class band payload rows -> ((B, H, 2W) uint8 YUY2, (B,)
         overflow flags).
 
@@ -335,6 +357,8 @@ class IntraCodec:
             bands = [coeffs_by[(ch, k)] for k in range(3)]
             coeffs.append((jnp.asarray(lowpass[ch]), bands))
         ovf_frame = jnp.stack(ovfs, axis=0).any(axis=0)        # (batch,)
+        if output == "BGRA":
+            return self.inverse_bgra(coeffs), ovf_frame
         return self.inverse(coeffs, frame_index), ovf_frame
 
     #: floor for the per-class row capacity bucket (chunks of 32 bits);
@@ -433,27 +457,36 @@ class IntraCodec:
 
     def decode_batch_device(self, samples: list[bytes],
                             frame_index: int = 0,
-                            min_row_chunks: int | None = None) -> np.ndarray:
-        """Decode CFHD samples to YUY2 wholly on device: the host only
-        walks sample headers and slices payloads; entropy decode, inverse
-        DWT, dither and output packing all run in one traced program.
-        Byte-identical to decode_batch; frames whose streams use legacy
-        codesets, peaks tables or overflow the payload capacity fall back
-        to the host path per frame."""
+                            min_row_chunks: int | None = None,
+                            output: str = "YUY2") -> np.ndarray:
+        """Decode CFHD samples wholly on device (YUY2 or BGRA): the host
+        only walks sample headers and slices payloads; entropy decode,
+        inverse DWT, dither/color conversion and output packing all run
+        in one traced program.  Byte-identical to the host path; frames
+        whose streams use legacy codesets, peaks tables or overflow the
+        payload capacity fall back to the host path per frame."""
         batch = len(samples)
         pays, nchs, qns, lins, lp, fallback = self._decode_rows_args(
             samples, min_row_chunks)
+
+        def host_decode(subset):
+            if output == "BGRA":
+                from cineform_tpu.models.intra_host import decode_sample_bgra
+                return np.stack([np.frombuffer(
+                    decode_sample_bgra(x), np.uint8).reshape(
+                        self.height, self.width, 4) for x in subset])
+            return self.decode_batch(subset, frame_index)
+
         if len(fallback) == batch:
-            return self.decode_batch(samples, frame_index)
+            return host_decode(samples)
 
         out, ovf = self._decode_device_program(
-            pays, nchs, qns, lins, lp, batch, frame_index)
+            pays, nchs, qns, lins, lp, batch, frame_index, output)
         out = np.asarray(jax.device_get(out))
         for i in np.nonzero(np.asarray(ovf))[0]:
             fallback.add(int(i))
         if fallback:
-            host = self.decode_batch([samples[i] for i in sorted(fallback)],
-                                     frame_index)
+            host = host_decode([samples[i] for i in sorted(fallback)])
             for j, i in enumerate(sorted(fallback)):
                 out[i] = host[j]
         return out

@@ -385,3 +385,15 @@ def unpack_v210(frame: jnp.ndarray, width: int):
     cb = cb.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
     cr = cr.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
     return y, cr, cb
+
+
+def inverse_channel_strips(lowpass, bands, prescale):
+    """Full 3-level inverse stopping at the final v26 vertical stage:
+    returns the (low, high) strips the fused 8-bit output kernels
+    consume (`InvertHorizontalStrip*`)."""
+    ll = lowpass
+    for k in (2, 1):
+        lh, hl, hh = bands[k]
+        ll = dwt2d_inverse(ll, lh, hl, hh, 2 if prescale[k] == 2 else 1)
+    lh, hl, hh = bands[0]
+    return v26_inverse(ll, hl), v26_inverse(lh, hh)
