@@ -39,8 +39,37 @@ import time
 
 import numpy as np
 
+# Progressively-filled detail dict: on any failure we emit whatever stages
+# completed as a partial JSON result instead of a traceback (the round-3
+# driver run lost its number to a single backend-init exception).
+DETAIL: dict = {}
+
+
+def _init_backend(max_wait_s: float = 600.0):
+    """Initialize the JAX backend, retrying with backoff for up to
+    ``max_wait_s`` (the TPU tunnel can be transiently UNAVAILABLE)."""
+    import jax
+
+    deadline = time.monotonic() + max_wait_s
+    delay = 10.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            DETAIL["backend_init_attempts"] = attempt
+            return devs
+        except RuntimeError as e:
+            if time.monotonic() + delay > deadline:
+                raise RuntimeError(
+                    f"backend unavailable after {attempt} attempts over "
+                    f"{max_wait_s:.0f}s: {e}") from e
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+
 
 def main() -> None:
+    _init_backend()
     import jax
     import jax.numpy as jnp
 
@@ -120,14 +149,18 @@ def main() -> None:
     for _ in range(iters):
         float(chained_encode(dev_frames))
     enc_ms = (time.perf_counter() - t0) / (iters * K * batch) * 1000
+    DETAIL["full_encode_ms_per_frame"] = round(enc_ms, 3)
+    DETAIL["full_encode_fps"] = round(1000.0 / enc_ms, 1)
     t0 = time.perf_counter()
     for _ in range(iters):
         float(chained_roundtrip(dev_frames))
     rt_ms = (time.perf_counter() - t0) / (iters * K * 3 * batch) * 1000
+    DETAIL["transform_roundtrip_ms_per_frame"] = round(rt_ms, 3)
     t0 = time.perf_counter()
     for _ in range(iters):
         float(chained_decode(pays, nchs, qns, lins, lp))
     dec_ms = (time.perf_counter() - t0) / (iters * K * batch) * 1000
+    DETAIL["full_decode_ms_per_frame"] = round(dec_ms, 3)
 
     encode_fps = 1000.0 / enc_ms
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse > 0 else 99.0
@@ -224,46 +257,61 @@ def main() -> None:
     # (README.md:62-92) over 8 cores: (9.3 + 5.4)/8 = 1.84 ms/frame
     ref_combined_fps = 1000.0 / ((9.3 + 5.4) / 8)
 
+    DETAIL.update({
+        "full_encode_ms_per_frame": round(enc_ms, 3),
+        "full_encode_fps": round(encode_fps, 1),
+        "encode_vs_reference_923.6fps": round(encode_fps / 923.6, 4),
+        "full_decode_ms_per_frame": round(dec_ms, 3),
+        "full_decode_fps": round(1000.0 / dec_ms, 1),
+        "host_assembly_ms_per_frame": round(assembly_ms, 2),
+        "host_parse_rows_ms_per_frame": round(parse_ms, 2),
+        "combined_ms_per_frame": round(combined_ms, 3),
+        "transform_roundtrip_ms_per_frame": round(rt_ms, 3),
+        "transform_roundtrip_fps": round(1000.0 / rt_ms, 1),
+        "noise_content": {
+            "roundtrip_psnr_db": round(float(psnr), 2),
+            "compression_ratio": round(ratio, 2),
+            "device_encode_band_overflows": novf_noise,
+        },
+        "smooth_content": {
+            "roundtrip_psnr_db": round(float(psnr_smooth), 2),
+            "compression_ratio": round(ratio_smooth, 2),
+            "device_encode_band_overflows": novf_smooth,
+        },
+        "host_entropy_encode_ms_per_frame_1core": round(entropy_enc_ms, 2),
+        "host_entropy_decode_ms_per_frame_1core": round(entropy_dec_ms, 2),
+        "batch": batch,
+        "device": str(jax.devices()[0]),
+        "note": ("encode AND decode are the complete bit-exact CFHD "
+                 "hot paths on device (payloads/frames in HBM), both "
+                 "byte-exact vs the reference SDK in tests; combined "
+                 "adds the measured single-core host tails (sample "
+                 "assembly, header walk).  Reference combined "
+                 "baseline: (9.3+5.4)ms sync over 8 cores = 543.6 "
+                 "fps (README.md:62-92)"),
+    })
     print(json.dumps({
         "metric": "1080p_yuy2_device_encode_decode_fps_per_chip",
         "value": round(combined_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(combined_fps / ref_combined_fps, 4),
-        "detail": {
-            "full_encode_ms_per_frame": round(enc_ms, 3),
-            "full_encode_fps": round(encode_fps, 1),
-            "encode_vs_reference_923.6fps": round(encode_fps / 923.6, 4),
-            "full_decode_ms_per_frame": round(dec_ms, 3),
-            "full_decode_fps": round(1000.0 / dec_ms, 1),
-            "host_assembly_ms_per_frame": round(assembly_ms, 2),
-            "host_parse_rows_ms_per_frame": round(parse_ms, 2),
-            "combined_ms_per_frame": round(combined_ms, 3),
-            "transform_roundtrip_ms_per_frame": round(rt_ms, 3),
-            "transform_roundtrip_fps": round(1000.0 / rt_ms, 1),
-            "noise_content": {
-                "roundtrip_psnr_db": round(float(psnr), 2),
-                "compression_ratio": round(ratio, 2),
-                "device_encode_band_overflows": novf_noise,
-            },
-            "smooth_content": {
-                "roundtrip_psnr_db": round(float(psnr_smooth), 2),
-                "compression_ratio": round(ratio_smooth, 2),
-                "device_encode_band_overflows": novf_smooth,
-            },
-            "host_entropy_encode_ms_per_frame_1core": round(entropy_enc_ms, 2),
-            "host_entropy_decode_ms_per_frame_1core": round(entropy_dec_ms, 2),
-            "batch": batch,
-            "device": str(jax.devices()[0]),
-            "note": ("encode AND decode are the complete bit-exact CFHD "
-                     "hot paths on device (payloads/frames in HBM), both "
-                     "byte-exact vs the reference SDK in tests; combined "
-                     "adds the measured single-core host tails (sample "
-                     "assembly, header walk).  Reference combined "
-                     "baseline: (9.3+5.4)ms sync over 8 cores = 543.6 "
-                     "fps (README.md:62-92)"),
-        },
+        "detail": DETAIL,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - emit partial JSON, not a traceback
+        import traceback
+        tb = traceback.format_exc(limit=3)
+        print(json.dumps({
+            "metric": "1080p_yuy2_device_encode_decode_fps_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+            "traceback_tail": tb[-1500:],
+            "partial_detail": DETAIL,
+        }))
+        raise SystemExit(0)

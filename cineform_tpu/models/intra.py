@@ -44,12 +44,28 @@ def _dither_planes(height: int, width: int, frame_index: int = 0):
 
 
 # device-side input unpack + the COLOR_FORMAT code for the sample header
-# (codes match api.Encoder._INPUT_FORMAT_CODES / `Codec/frame.c` unpackers)
+# (codes match api.Encoder._INPUT_FORMAT_CODES / `Codec/frame.c` unpackers).
+# "encoded" selects the encoded format / channel configuration
+# (`Codec/encoder.c:2109-2135` encoded-format dispatch):
+#   YUV   = 10-bit 4:2:2, 3 channels (W, W/2, W/2)
+#   RGB   = 12-bit 4:4:4, 3 full-width channels, chroma_full_res
+#   RGBA  = 12-bit 4:4:4:4 (b64a: chroma tables stay chroma)
+#   RGBA_FULL = RG64 (chroma_full_res like RGB)
+#   BAYER = 12-bit quarter-res difference planes, rgb_quality=3
+#           (`Codec/encoder.c:2637`)
 _DEVICE_FORMATS = {
-    "YUY2": {"code": 2, "row_bytes": lambda w: 2 * w},
-    "UYVY": {"code": 1, "row_bytes": lambda w: 2 * w},
-    "YU64": {"code": 12, "row_bytes": lambda w: 4 * w},
-    "V210": {"code": 10, "row_bytes": lambda w: ((w + 47) // 48) * 128},
+    "YUY2": {"code": 2, "row_bytes": lambda w: 2 * w, "encoded": "YUV"},
+    "UYVY": {"code": 1, "row_bytes": lambda w: 2 * w, "encoded": "YUV"},
+    "YU64": {"code": 12, "row_bytes": lambda w: 4 * w, "encoded": "YUV"},
+    "V210": {"code": 10, "row_bytes": lambda w: ((w + 47) // 48) * 128,
+             "encoded": "YUV"},
+    "RG48": {"code": 120, "row_bytes": lambda w: 6 * w, "encoded": "RGB"},
+    "B64A": {"code": 30, "row_bytes": lambda w: 8 * w, "encoded": "RGBA"},
+    "RG64": {"code": 121, "row_bytes": lambda w: 8 * w,
+             "encoded": "RGBA_FULL"},
+    "BYR4": {"code": 104, "row_bytes": lambda w: 2 * w, "encoded": "BAYER"},
+    "BYR5": {"code": 105, "row_bytes": lambda w: 3 * w // 2,
+             "encoded": "BAYER"},
 }
 
 
@@ -63,9 +79,65 @@ class IntraCodec:
     input_format: str = "YUY2"
 
     @property
+    def encoded(self) -> str:
+        return _DEVICE_FORMATS[self.input_format]["encoded"]
+
+    @property
     def params(self) -> IntraParams:
-        return IntraParams(width=self.width, height=self.height,
-                           quality=self.quality)
+        from cineform_tpu.spec import tags as _t
+
+        enc = self.encoded
+        if enc == "YUV":
+            return IntraParams(width=self.width, height=self.height,
+                               quality=self.quality)
+        if enc == "RGB":
+            return IntraParams(width=self.width, height=self.height,
+                               quality=self.quality,
+                               precision=_t.PRECISION_12BIT,
+                               chroma_full_res=True)
+        if enc == "RGBA":
+            return IntraParams(width=self.width, height=self.height,
+                               quality=self.quality,
+                               precision=_t.PRECISION_12BIT,
+                               chroma_full_res=False)
+        if enc == "RGBA_FULL":
+            return IntraParams(width=self.width, height=self.height,
+                               quality=self.quality,
+                               precision=_t.PRECISION_12BIT,
+                               chroma_full_res=True)
+        # BAYER: channels are quarter-res difference planes
+        return IntraParams(width=self.width // 2, height=self.height // 2,
+                           quality=self.quality,
+                           precision=_t.PRECISION_12BIT,
+                           chroma_full_res=True, rgb_quality=3)
+
+    @property
+    def num_channels(self) -> int:
+        return {"YUV": 3, "RGB": 3, "RGBA": 4, "RGBA_FULL": 4,
+                "BAYER": 4}[self.encoded]
+
+    def plane_width(self, ch: int) -> int:
+        if self.encoded == "YUV" and ch > 0:
+            return self.width // 2
+        return self.params.width
+
+    @property
+    def _write_sample_kwargs(self) -> dict:
+        from cineform_tpu.spec import tags as _t
+
+        enc = self.encoded
+        if enc == "YUV":
+            return {"input_format": self.input_format_code}
+        common = {"input_format": self.input_format_code,
+                  "colorspace": None}
+        if enc == "RGB":
+            return {**common,
+                    "encoded_format": _t.ENCODED_FORMAT_RGB_444}
+        if enc in ("RGBA", "RGBA_FULL"):
+            return {**common,
+                    "encoded_format": _t.ENCODED_FORMAT_RGBA_4444,
+                    "quality_high": 0x2000}
+        return {**common, "encoded_format": _t.ENCODED_FORMAT_BAYER}
 
     @property
     def row_bytes(self) -> int:
@@ -85,6 +157,22 @@ class IntraCodec:
             return ops.unpack_yu64(frames)
         if self.input_format == "V210":
             return ops.unpack_v210(frames, self.width)
+        if self.input_format == "RG48":
+            return ops.unpack_rg48(frames)
+        if self.input_format == "B64A":
+            return ops.unpack_b64a(frames)
+        if self.input_format == "RG64":
+            return ops.unpack_rg64(frames)
+        if self.input_format == "BYR4":
+            from cineform_tpu.ref.intra import byr4_log90_curve
+
+            lut = jnp.asarray(byr4_log90_curve().astype(np.int32))
+            return ops.unpack_byr4(frames, lut)
+        if self.input_format == "BYR5":
+            # natural BYR5 layout: quarter-res rows of 3W bytes
+            lead = frames.shape[:-2]
+            return ops.unpack_byr5(frames.reshape(
+                lead + (self.height // 2, 3 * self.width)))
         raise ValueError(self.input_format)
 
     def _unpack_host(self, raw: bytes):
@@ -97,7 +185,17 @@ class IntraCodec:
             return xf.unpack_uyvy(raw, self.width, self.height, p.precision)
         if self.input_format == "YU64":
             return xf.unpack_yu64(raw, self.width, self.height)
-        return xf.unpack_v210(raw, self.width, self.height)
+        if self.input_format == "V210":
+            return xf.unpack_v210(raw, self.width, self.height)
+        if self.input_format == "RG48":
+            return xf.unpack_rg48(raw, self.width, self.height)
+        if self.input_format == "B64A":
+            return xf.unpack_b64a(raw, self.width, self.height)
+        if self.input_format == "RG64":
+            return xf.unpack_rg64(raw, self.width, self.height)
+        if self.input_format == "BYR4":
+            return xf.unpack_byr4(raw, self.width, self.height)
+        return xf.unpack_byr5(raw, self.width, self.height)
 
     # --- device programs ---------------------------------------------------
 
@@ -108,10 +206,10 @@ class IntraCodec:
         Everything here is traced once per config and fused by XLA.
         """
         p = self.params
-        y, v, u = self._unpack(frames)
+        planes = self._unpack(frames)
         prescale = p.prescale
         out = []
-        for ch, plane in enumerate((y, v, u)):
+        for ch, plane in enumerate(planes):
             quants = p.band_quant(ch)
             lowpass, bands = ops.forward_channel(plane, quants, prescale)
             out.append((lowpass, bands))
@@ -182,20 +280,37 @@ class IntraCodec:
         from cineform_tpu.entropy import device as edev
 
         coeffs = self.forward(frames)
-        out = []
-        for lowpass, bands in coeffs:
-            packed = []
-            for bs in bands:
-                h, w = bs[0].shape[-2:]
+        nch = len(coeffs)
+        # Group channels of equal plane shape so each distinct band shape
+        # instantiates the entropy coder ONCE (chroma pairs for 4:2:2;
+        # all 3-4 channels for RGB/RGBA/Bayer): ~40% less program to
+        # compile and the coder runs wider batches.
+        groups: list[list[int]] = []
+        for ch in range(nch):
+            shape = coeffs[ch][1][0][0].shape[-2:]
+            if groups and coeffs[groups[-1][0]][1][0][0].shape[-2:] == shape:
+                groups[-1].append(ch)
+            else:
+                groups.append([ch])
+        packed_by_ch: list[list] = [[] for _ in range(nch)]
+        nlevels = len(coeffs[0][1])
+        for k in range(nlevels):
+            for grp in groups:
+                bs0 = coeffs[grp[0]][1][k]
+                h, w = bs0[0].shape[-2:]
                 pitch = intra_host.align16_pixels(w)
-                trio = jnp.stack(bs, axis=1)          # (B, 3, h, w)
-                trio = jnp.pad(trio, ((0, 0), (0, 0), (0, 0),
-                                      (0, pitch - w)))
-                flat = trio.reshape(trio.shape[0], 3, h * pitch)
-                packed.append(edev.encode_band_arrays(
-                    flat, codeset=17, cap_bits_per_elem=cap_bits))
-            out.append((lowpass, packed))
-        return out
+                # (B, G, 3, h, w): all of the group's trios in one call
+                trios = jnp.stack([jnp.stack(coeffs[ch][1][k], axis=1)
+                                   for ch in grp], axis=1)
+                trios = jnp.pad(trios, ((0, 0), (0, 0), (0, 0), (0, 0),
+                                        (0, pitch - w)))
+                flat = trios.reshape(trios.shape[0], len(grp), 3, h * pitch)
+                words, nbits, ovf = edev.encode_band_arrays(
+                    flat, codeset=17, cap_bits_per_elem=cap_bits)
+                for gi, ch in enumerate(grp):
+                    packed_by_ch[ch].append((words[:, gi], nbits[:, gi],
+                                             ovf[:, gi]))
+        return [(coeffs[ch][0], packed_by_ch[ch]) for ch in range(nch)]
 
     def _frame_meta(self, batch, first_frame_number, frame_numbers, metadata):
         from cineform_tpu.models.intra_host import EncoderMetadata
@@ -219,17 +334,21 @@ class IntraCodec:
                             metadata=None,
                             cap_bits: int = 8,
                             frame_numbers: list[int] | None = None,
-                            assemble_count: int | None = None
-                            ) -> list[bytes]:
+                            assemble_count: int | None = None,
+                            sharding=None) -> list[bytes]:
         """Encode (B, H, row_bytes) uint8 frames to CFHD samples with the
         entropy coding done on device; the host only slices packed words
         and writes headers.  Byte-identical to encode_batch.  `metadata`
-        may be a single EncoderMetadata or one per frame."""
+        may be a single EncoderMetadata or one per frame.  `sharding`
+        (e.g. parallel.mesh.batch_sharding) places the frame axis across
+        a device mesh; jit compiles the same program SPMD, so multi-chip
+        encode is the same call (SURVEY §2.4 TPU mapping)."""
         from cineform_tpu.entropy import device as edev
 
         p = self.params
-        result = jax.device_get(self.forward_packed(jnp.asarray(frames),
-                                                    cap_bits))
+        dev_frames = (jax.device_put(frames, sharding)
+                      if sharding is not None else jnp.asarray(frames))
+        result = jax.device_get(self.forward_packed(dev_frames, cap_bits))
         batch = frames.shape[0]
         frame_numbers, metadata = self._frame_meta(
             batch, first_frame_number, frame_numbers, metadata)
@@ -249,9 +368,10 @@ class IntraCodec:
                             trio.append(edev.finish_band_bytes(
                                 words[i, b], int(nbits[i, b]), 17))
                     payloads.append(tuple(trio))
-                plane_w = self.width if ch == 0 else self.width // 2
+                plane_w = self.plane_width(ch)
                 bands = [tuple(np.broadcast_to(
-                    np.int32(0), (self.height >> (k + 1), plane_w >> (k + 1)))
+                    np.int32(0),
+                    (p.height >> (k + 1), plane_w >> (k + 1)))
                     for _ in range(3)) for k in range(len(packed))]
                 if any(t is None for tr in payloads for t in tr):
                     # capacity overflow: recompute this frame's coefficients
@@ -269,7 +389,7 @@ class IntraCodec:
                     payloads=payloads))
             samples.append(intra_host.write_sample(
                 channels, p, frame_numbers[i], metadata[i],
-                input_format=self.input_format_code))
+                **self._write_sample_kwargs))
             fallback = None
         return samples
 
@@ -297,7 +417,7 @@ class IntraCodec:
                 ))
             samples.append(intra_host.write_sample(
                 channels, p, frame_numbers[i], metadata[i],
-                input_format=self.input_format_code))
+                **self._write_sample_kwargs))
         return samples
 
     # --- fully device-side decode: entropy + inverse transform --------------
@@ -465,6 +585,10 @@ class IntraCodec:
         in one traced program.  Byte-identical to the host path; frames
         whose streams use legacy codesets, peaks tables or overflow the
         payload capacity fall back to the host path per frame."""
+        if self.encoded != "YUV":
+            raise NotImplementedError(
+                "device decode is wired for 4:2:2 YUV configs; RGB/Bayer "
+                "decode goes through the host path (api.Decoder)")
         batch = len(samples)
         pays, nchs, qns, lins, lp, fallback = self._decode_rows_args(
             samples, min_row_chunks)

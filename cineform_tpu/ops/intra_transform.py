@@ -286,8 +286,27 @@ def h26_inverse_to_output(low: jnp.ndarray, high: jnp.ndarray,
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
-def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1) -> jnp.ndarray:
-    low = v26_inverse(ll, hl)
+def v26_inverse_shifted_bottom(low: jnp.ndarray,
+                               high: jnp.ndarray) -> jnp.ndarray:
+    """v26_inverse with the bottom border taps one row STALE
+    (`InvertSpatialQuantOverflowProtected16s` advances its lowpass
+    pointer past its border filter, `Codec/spatial.c:21114+690`); device
+    twin of ref/intra.v26_inverse_shifted_bottom — the GOP w5/w3 pyramid
+    inverse applies this to the (ll, hl) vertical pair only."""
+    out = v26_inverse(low, high)
+    tke = (5 * low[..., -2, :] + 4 * low[..., -3, :]
+           - low[..., -4, :] + ROUNDING) >> 3
+    tko = (11 * low[..., -2, :] - 4 * low[..., -3, :]
+           + low[..., -4, :] + ROUNDING) >> 3
+    last2 = jnp.stack([sat16((tke + high[..., -1, :]) >> 1),
+                       sat16((tko - high[..., -1, :]) >> 1)], axis=-2)
+    return jnp.concatenate([out[..., :-2, :], last2], axis=-2)
+
+
+def dwt2d_inverse(ll, lh, hl, hh, descale: int = 1,
+                  bottom_shift: bool = False) -> jnp.ndarray:
+    v26 = v26_inverse_shifted_bottom if bottom_shift else v26_inverse
+    low = v26(ll, hl)
     high = v26_inverse(lh, hh)
     return h26_inverse(low, high, descale)
 
@@ -385,6 +404,114 @@ def unpack_v210(frame: jnp.ndarray, width: int):
     cb = cb.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
     cr = cr.reshape(lead + (h, 3 * ngroups))[..., :width // 2]
     return y, cr, cb
+
+
+def _le16(frame: jnp.ndarray, last: int) -> jnp.ndarray:
+    """(..., H, 2*N) uint8 -> (..., H, N/last, last) int32 little-endian u16."""
+    h = frame.shape[-2]
+    n = frame.shape[-1] // 2
+    b = frame.reshape(frame.shape[:-2] + (h, n // last, last, 2)).astype(jnp.int32)
+    return b[..., 0] | (b[..., 1] << 8)
+
+
+def unpack_rg48(frame: jnp.ndarray):
+    """(..., H, 6W) uint8 RG48 (16-bit RGB LE) -> 12-bit planes [G, R, B].
+
+    Device twin of `ref.intra.unpack_rg48` (`Codec/frame.c:5968`
+    ConvertRGB48ToFrame16s; G/R/B channel order pinned vs golden)."""
+    px = _le16(frame, 3)                       # (..., H, W, 3)
+    return px[..., 1] >> 4, px[..., 0] >> 4, px[..., 2] >> 4
+
+
+def _alpha_companding(a12: jnp.ndarray) -> jnp.ndarray:
+    """Encode-side alpha step curve (`Codec/frame.c:6699-6706`)."""
+    return jnp.where((a12 > 0) & (a12 < 4095),
+                     ((a12 * 223 + 128) >> 8) + 256, a12)
+
+
+def unpack_b64a(frame: jnp.ndarray):
+    """(..., H, 8W) uint8 b64a (16-bit ARGB, read native-LE without the
+    nominal byte swap) -> 12-bit planes [G, R, B, A] with the alpha
+    step curve (`ConvertBGRA64ToFrame_4444_16s`, `Codec/frame.c:6569`)."""
+    px = _le16(frame, 4)                       # (..., H, W, 4)
+    a = _alpha_companding(px[..., 0] >> 4)
+    return px[..., 2] >> 4, px[..., 1] >> 4, px[..., 3] >> 4, a
+
+
+def unpack_rg64(frame: jnp.ndarray):
+    """(..., H, 8W) uint8 RG64 (16-bit RGBA LE) -> 12-bit [G, R, B, A]
+    with the b64a alpha companding (`ref.intra.unpack_rg64`)."""
+    px = _le16(frame, 4)
+    return (px[..., 1] >> 4, px[..., 0] >> 4, px[..., 2] >> 4,
+            _alpha_companding(px[..., 3] >> 4))
+
+
+def _bayer_planes(r, g1, g2, b, log_curve: bool):
+    """Quadrant components -> [G, RG, BG, DG] 12-bit difference planes
+    (`ConvertBYR4ToFrame16s` `Codec/frame.c:4993` with the LOG-90 curve
+    applied upstream; `ConvertBYR5ToFrame16s` `frame.c:5473` linear)."""
+    g = (g1 + g2) >> 1
+    if log_curve:
+        rg = ((r - g) >> 1) + 2048
+        bg = ((b - g) >> 1) + 2048
+    else:
+        rg = (r - g + 4096) >> 1
+        bg = (b - g + 4096) >> 1
+    dg = (g1 - g2 + 4096) >> 1
+    return g, rg, bg, dg
+
+
+def _bayer_order(q00, q01, q10, q11, bayer_format: int):
+    if bayer_format == 0:      # RED_GRN
+        return q00, q01, q10, q11
+    if bayer_format == 1:      # GRN_RED
+        return q01, q00, q11, q10
+    if bayer_format == 2:      # GRN_BLU
+        return q10, q00, q11, q01
+    return q11, q01, q10, q00  # BLU_GRN
+
+
+def unpack_byr4(frame: jnp.ndarray, log_lut: jnp.ndarray,
+                bayer_format: int = 0):
+    """(..., H, 2W) uint8 BYR4 (16-bit Bayer mosaic LE) -> quarter-res
+    12-bit planes [G, RG, BG, DG] after the LOG-90 encode curve
+    (`ConvertBYR4ToFrame16s` `Codec/frame.c:4993`; log_lut is the
+    host-built 14-bit `ref.intra.byr4_log90_curve` table)."""
+    h = frame.shape[-2]
+    w = frame.shape[-1] // 2
+    b = frame.reshape(frame.shape[:-2] + (h, w, 2)).astype(jnp.int32)
+    mosaic = (b[..., 0] | (b[..., 1] << 8)) >> 2
+    m = jnp.take(log_lut, mosaic)
+    q00, q01 = m[..., 0::2, 0::2], m[..., 0::2, 1::2]
+    q10, q11 = m[..., 1::2, 0::2], m[..., 1::2, 1::2]
+    r, g1, g2, bl = _bayer_order(q00, q01, q10, q11, bayer_format)
+    return _bayer_planes(r, g1, g2, bl, log_curve=True)
+
+
+def unpack_byr5(frame: jnp.ndarray, bayer_format: int = 0):
+    """(..., H, 3W/2) uint8 BYR5 (packed 12-bit Bayer: per quarter-res
+    row the four component rows' high bytes, then 4-bit remainders two
+    per byte low-nibble-first) -> quarter-res 12-bit [G, RG, BG, DG]
+    (`ConvertBYR5ToFrame16s`, `Codec/frame.c:5473`; linear, no curve)."""
+    h2 = frame.shape[-2]          # input passed as (..., H/2, rowbytes)
+    rb = frame.shape[-1]
+    wc = rb // 6
+    rows = frame.astype(jnp.int32)
+    high = rows[..., :4 * wc]
+    nib = rows[..., 4 * wc:6 * wc]
+    low = jnp.stack([nib & 0xF, (nib >> 4) & 0xF], axis=-1)
+    low = low.reshape(low.shape[:-2] + (4 * wc,))
+    v = (high << 4) | low
+    comp = [v[..., i * wc:(i + 1) * wc] for i in range(4)]
+    if bayer_format == 0:
+        r, g1, g2, b = comp
+    elif bayer_format == 1:
+        g1, r, b, g2 = comp
+    elif bayer_format == 2:
+        g1, b, r, g2 = comp
+    else:
+        b, g1, g2, r = comp
+    return _bayer_planes(r, g1, g2, b, log_curve=False)
 
 
 def inverse_channel_strips(lowpass, bands, prescale):

@@ -40,6 +40,12 @@ class SampleBuffer:
 _DEVICE_POOL_FORMATS = {
     api.PixelFormat.YUY2: "YUY2", api.PixelFormat.UYVY: "UYVY",
     api.PixelFormat.V210: "V210", api.PixelFormat.YU64: "YU64",
+    # RGB 4:4:4 / RGBA 4:4:4:4 / Bayer device encode (round 4): the same
+    # batcher runs the 12-bit configs through IntraCodec's device unpack
+    # kernels (`Codec/frame.c:4993/5473/5968/6569` on the chip)
+    api.PixelFormat.RG48: "RG48", api.PixelFormat.B64A: "B64A",
+    api.PixelFormat.RG64: "RG64", api.PixelFormat.BYR4: "BYR4",
+    api.PixelFormat.BYR5: "BYR5",
 }
 
 
@@ -110,6 +116,19 @@ class EncoderPool:
             self._device_codec = IntraCodec(
                 width=width, height=height, quality=int(self.quality),
                 input_format=device_fmt)
+            # multi-chip: shard the batch's frame axis across the mesh —
+            # jit compiles the same encode program SPMD over ICI
+            # (pure data parallel, SURVEY §2.4); the dryrun validates
+            # bit-identity vs unsharded
+            import jax
+            ndev = len(jax.devices())
+            if ndev > 1:
+                from cineform_tpu.parallel.mesh import (batch_sharding,
+                                                        frame_mesh)
+                mesh = frame_mesh(min(ndev, self.DEVICE_BATCH))
+                self._sharding = batch_sharding(mesh)
+            else:
+                self._sharding = None
         elif use_device:
             from cineform_tpu.models.gop import GopCodec
             self._device_codec = GopCodec(width=width, height=height,
@@ -186,7 +205,8 @@ class EncoderPool:
                         frames,
                         frame_numbers=[j[0] for j in jobs] + [0] * pad,
                         metadata=[j[2] for j in jobs] + [None] * pad,
-                        assemble_count=real)
+                        assemble_count=real,
+                        sharding=getattr(self, "_sharding", None))
                 for j, s in zip(jobs, samples):
                     j[-1].set_result(s)
             except BaseException as exc:  # propagate to the harvesters

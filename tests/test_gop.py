@@ -362,3 +362,40 @@ def test_gop_bgra_decode_byte_exact():
     grp = _golden("gop_320x240_q4_p1.cfhd.f1")
     assert gop_host.decode_group_to(grp, "BGRA") == \
         _golden("gop_320x240_q4_p1.bgraout")
+
+
+def test_gop_device_decode_byte_exact():
+    """GopCodec.decode_batch_device — band entropy decode + the full
+    FIELDPLUS pyramid + temporal combine + fused 8-bit output, all on
+    device — is byte-identical to gop_host.decode_group for both frames,
+    in both reference_compatible modes, and batches mixed groups
+    (round-4 extension of the intra band-row class machinery to the
+    17-subband map, `Codec/decoder.c:11180-11192`)."""
+    from cineform_tpu.models.gop import GopCodec
+
+    w, h = 320, 240
+    g1 = gop_host.encode_group(yuy2_frame(w, h, 1), yuy2_frame(w, h, 2),
+                               w, h, 4)
+    g2 = gop_host.encode_group(yuy2_frame(w, h, 3), yuy2_frame(w, h, 0),
+                               w, h, 4)
+    codec = GopCodec(width=w, height=h, quality=4)
+    for ref_compat in (True, False):
+        f0, f1 = codec.decode_batch_device(
+            [g1, g2], reference_compatible=ref_compat)
+        for i, g in enumerate((g1, g2)):
+            h0, h1 = gop_host.decode_group(
+                g, reference_compatible=ref_compat)
+            assert f0[i].tobytes() == h0, (ref_compat, i, "frame0")
+            assert f1[i].tobytes() == h1, (ref_compat, i, "frame1")
+
+
+def test_gop_device_decode_golden_sample():
+    """Device GOP decode reproduces the reference binary's decoded frames
+    (the committed goldens) byte for byte."""
+    from cineform_tpu.models.gop import GopCodec
+
+    data = _golden("gop_320x240_q4_p1.cfhd.f1")
+    codec = GopCodec(width=320, height=240, quality=4)
+    f0, f1 = codec.decode_batch_device([data])
+    assert f0[0].tobytes() == _golden("gop_320x240_q4_p1.f0.yuy2")
+    assert f1[0].tobytes() == _golden("gop_320x240_q4_p1.f1.yuy2")

@@ -150,3 +150,40 @@ def test_device_decode_multiframe_dither():
             host, _ = intra_host.decode_sample(s, frame_index=idx)
             np.testing.assert_array_equal(
                 dev[i].reshape(-1), np.frombuffer(host, np.uint8), err_msg=str(idx))
+
+
+@pytest.mark.parametrize("fmt,golden", [
+    ("RG48", "rg48_320x240_q4_p1.cfhd"),
+    ("B64A", "b64a_320x240_q4_p1.cfhd"),
+    ("BYR4", "byr4_320x240_q4_p1.cfhd"),
+    ("RG64", "raw_RG64.cfhd"),
+    ("BYR5", "raw_BYR5.cfhd"),
+])
+def test_device_rgb_bayer_encode_byte_exact(fmt, golden):
+    """RGB 4:4:4 / RGBA 4:4:4:4 / Bayer encode fully on device
+    (unpack kernels in ops/intra_transform + 12-bit transform + device
+    entropy coder) is byte-identical to the reference SDK goldens —
+    the round-4 device fan-out of `Codec/encoder.c:2109-2135` /
+    `Codec/frame.c:4993/5473/5968/6569`."""
+    from cineform_tpu.utils import testframes as tfgen
+    from tests.test_formats import _golden as fm_golden, _raw_fill
+    from tests.test_intra_host import _metadata_from
+
+    w, h = 320, 240
+    gold = fm_golden(golden)
+    meta = _metadata_from(gold)
+    if fmt == "RG48":
+        raw = tfgen.rg48_frame(w, h, 1)
+    elif fmt == "B64A":
+        raw = tfgen.b64a_frame(w, h, 1)
+    elif fmt == "BYR4":
+        raw = tfgen.byr4_frame(w, h, 1)
+    elif fmt == "RG64":
+        raw = _raw_fill(w * h * 8, 1)
+    else:
+        raw = _raw_fill(w * h * 3 // 2, 1)
+
+    codec = IntraCodec(width=w, height=h, quality=4, input_format=fmt)
+    frames = np.frombuffer(raw, np.uint8).reshape(1, h, codec.row_bytes)
+    got = codec.encode_batch_device(frames, 1, metadata=meta)[0]
+    assert got == gold

@@ -172,3 +172,62 @@ def test_pool_device_batch_matches_sync():
            for _ in range(n)]
     pool.stop()
     assert got == want
+
+
+def test_pool_shards_batch_over_mesh():
+    """With >1 device visible (the conftest's 8-device CPU mesh) the pool
+    shards the batch's frame axis across a frame_mesh and still delivers
+    samples byte-identical to the sync encoder (VERDICT r3 item 10: the
+    production pool actually uses the mesh)."""
+    import jax
+
+    assert len(jax.devices()) > 1  # conftest forces the 8-device CPU mesh
+    w, h, n = 64, 48, 8
+    pool = api.CFHD_CreateEncoderPool(2, 8)
+    pool.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    assert pool._sharding is not None
+    assert len(pool._sharding.mesh.devices.reshape(-1)) == 8
+
+    frames = [yuy2_frame(w, h, p) for p in range(n)]
+    want = []
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2)
+    for i, f in enumerate(frames):
+        enc._frame_number = i
+        enc.encode_sample(f)
+        want.append(enc.get_sample_data())
+
+    pool.start()
+    for i, f in enumerate(frames):
+        pool.encode_async_sample(i + 1, f)
+    got = [pool.wait_for_sample(timeout=900).get_encoded_sample()
+           for _ in range(n)]
+    pool.stop()
+    assert got == want
+
+
+def test_pool_device_rgb_matches_sync():
+    """RG48 (12-bit RGB 4:4:4) runs through the device batcher and matches
+    the sync encoder byte for byte (round-4 device format fan-out)."""
+    from cineform_tpu.utils import testframes as tfgen
+
+    w, h, n = 64, 48, 3
+    frames = [tfgen.rg48_frame(w, h, p) for p in range(n)]
+    want = []
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.RG48)
+    for i, f in enumerate(frames):
+        enc._frame_number = i
+        enc.encode_sample(f)
+        want.append(enc.get_sample_data())
+
+    pool = api.CFHD_CreateEncoderPool(2, 8)
+    pool.prepare_to_encode(w, h, api.PixelFormat.RG48)
+    assert pool.use_device
+    pool.start()
+    for i, f in enumerate(frames):
+        pool.encode_async_sample(i + 1, f)
+    got = [pool.wait_for_sample(timeout=900).get_encoded_sample()
+           for _ in range(n)]
+    pool.stop()
+    assert got == want

@@ -230,6 +230,20 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
                                      ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
     else if (!strcmp(fmt, "BYR5")) { pf = CFHD_PIXEL_FORMAT_BYR5; pitch = w * 3 / 2;
                                      ef = CFHD_ENCODED_FORMAT_BAYER; }
+    else if (!strcmp(fmt, "b48r")) { pf = CFHD_PIXEL_FORMAT_B48R; pitch = w * 6; }
+    else if (!strcmp(fmt, "WP13")) { pf = CFHD_PIXEL_FORMAT_WP13; pitch = w * 6; }
+    else if (!strcmp(fmt, "W13A")) { pf = CFHD_PIXEL_FORMAT_W13A; pitch = w * 8;
+                                     ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
+    else if (!strcmp(fmt, "R408")) { pf = CFHD_PIXEL_FORMAT_R408; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "V408")) { pf = CFHD_PIXEL_FORMAT_V408; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "BYR2")) { pf = CFHD_PIXEL_FORMAT_BYR2; pitch = w * 2;
+                                     ef = CFHD_ENCODED_FORMAT_BAYER; }
+    else if (!strcmp(fmt, "YV12")) { pf = CFHD_PIXEL_FORMAT_YV12; pitch = w;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "NV12")) { pf = CFHD_PIXEL_FORMAT_NV12; pitch = w;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
     else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
 
     CFHD_EncoderRef enc = NULL;
@@ -776,6 +790,12 @@ static int do_decode_fmt(const char *inpath, const char *fmt, const char *outpat
     else if (!strcmp(fmt, "WP13")) { pf = CFHD_PIXEL_FORMAT_WP13; bpp = 6; }
     else if (!strcmp(fmt, "NV12")) { pf = CFHD_PIXEL_FORMAT_NV12; bpp = 1; }
     else if (!strcmp(fmt, "YV12")) { pf = CFHD_PIXEL_FORMAT_YV12; bpp = 1; }
+    else if (!strcmp(fmt, "W13A")) { pf = CFHD_PIXEL_FORMAT_W13A; bpp = 8; }
+    else if (!strcmp(fmt, "BGRa")) { pf = CFHD_PIXEL_FORMAT_BGRa; bpp = 4; }
+    else if (!strcmp(fmt, "RG24")) { pf = CFHD_PIXEL_FORMAT_RG24; bpp = 3; }
+    else if (!strcmp(fmt, "BYR2")) { pf = CFHD_PIXEL_FORMAT_BYR2; bpp = 2; }
+    else if (!strcmp(fmt, "b48r")) { pf = CFHD_PIXEL_FORMAT_B48R; bpp = 6; }
+    else if (!strcmp(fmt, "yuyv")) { pf = CFHD_PIXEL_FORMAT_YUYV; bpp = 2; }
     else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
 
     FILE *f = fopen(inpath, "rb");
