@@ -90,32 +90,42 @@ def main() -> None:
         err = (out.astype(jnp.float32) - frames.astype(jnp.float32)) ** 2
         return jnp.mean(err)
 
-    K = 8
+    # Timing scheme: K async dispatches of one jitted step, chained by a
+    # scalar salt (a data dependence so executions can't be elided or
+    # reordered), with ONE value fetch as the barrier.  The former
+    # fori_loop-chained programs deterministically SIGKILLed the
+    # tunnel's remote AOT compiler (13 MB MLIR; BENCH_r03/r04 logs),
+    # while the underlying step programs compile fine standalone.
+    K = 16
 
     # full encode: transform + quant + entropy coding + bit packing in HBM
     @jax.jit
-    def chained_encode(frames):
-        def body(_, carry):
-            acc, cur = carry
-            out = codec.forward_packed(cur)
-            s = jnp.int32(0)
-            for lowpass, packed in out:
-                s = s + lowpass[:, 0, 0].astype(jnp.int32).sum()
-                for words, nbits, ovf in packed:
-                    s = s + nbits[:, 0].astype(jnp.int32).sum()
-            return acc + s, jnp.bitwise_xor(cur, (s & 1).astype(jnp.uint8))
-        acc, _ = jax.lax.fori_loop(0, K, body, (jnp.int32(0), frames))
-        return acc
+    def encode_step(fr, salt):
+        fr = fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
+        out = codec.forward_packed(fr)
+        s = jnp.int32(0)
+        for lowpass, packed in out:
+            s = s + lowpass[:, 0, 0].astype(jnp.int32).sum()
+            for words, nbits, ovf in packed:
+                s = s + nbits[:, 0].astype(jnp.int32).sum()
+        return s
 
     # transform-only roundtrip (round-1 metric, for comparison)
     @jax.jit
-    def chained_roundtrip(frames):
-        def body(_, carry):
-            acc, cur = carry
-            out = codec.inverse(codec.dequantize(codec.forward(cur)))
-            return acc + out[0, 0, 0].astype(jnp.int32), out
-        acc, _ = jax.lax.fori_loop(0, K * 3, body, (jnp.int32(0), frames))
-        return acc
+    def roundtrip_step(fr, salt):
+        fr = fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
+        out = codec.inverse(codec.dequantize(codec.forward(fr)))
+        return out[0, 0, 0].astype(jnp.int32)
+
+    def timed_chain(step, *args, iters=2):
+        """Dispatch K chained steps per iter; fetch one scalar at the end."""
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = jnp.int32(0)
+            for _k in range(K):
+                s = step(*args, s)
+            float(s)
+        return (time.perf_counter() - t0) / (iters * K * batch) * 1000
 
     # full decode: band payload rows -> entropy decode -> inverse -> YUY2
     # (class tensors from real encoded samples of this content)
@@ -128,38 +138,25 @@ def main() -> None:
     assert not fb, f"bench samples fell back: {fb}"
 
     @jax.jit
-    def chained_decode(pays, nchs, qns, lins, lp):
-        def body(_, carry):
-            pays, acc = carry
-            out, ovf = codec._decode_device_program(
-                pays, nchs, qns, lins, lp, batch, 0)
-            s = out[:, 0, 0].astype(jnp.int32).sum()
-            pays = tuple(p ^ (s & 1).astype(jnp.uint8) for p in pays)
-            return pays, acc + s
-        return jax.lax.fori_loop(0, K, body, (pays, jnp.int32(0)))[1]
+    def decode_step(pays, nchs, qns, lins, lp, salt):
+        # chain via the lowpass plane (payload bytes must stay intact)
+        lp = (lp[0] + (salt & 1),) + tuple(lp[1:])
+        out, ovf = codec._decode_device_program(
+            pays, nchs, qns, lins, lp, batch, 0)
+        return out[:, 0, 0].astype(jnp.int32).sum()
 
     dev_frames = jax.device_put(jnp.asarray(frames))
     mse = float(roundtrip_mse(dev_frames))    # quality stat + warm
-    float(chained_encode(dev_frames))          # compile + warm
-    float(chained_roundtrip(dev_frames))
-    float(chained_decode(pays, nchs, qns, lins, lp))
+    float(encode_step(dev_frames, jnp.int32(0)))       # compile + warm
+    float(roundtrip_step(dev_frames, jnp.int32(0)))
+    float(decode_step(pays, nchs, qns, lins, lp, jnp.int32(0)))
 
-    iters = 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(chained_encode(dev_frames))
-    enc_ms = (time.perf_counter() - t0) / (iters * K * batch) * 1000
+    enc_ms = timed_chain(encode_step, dev_frames)
     DETAIL["full_encode_ms_per_frame"] = round(enc_ms, 3)
     DETAIL["full_encode_fps"] = round(1000.0 / enc_ms, 1)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(chained_roundtrip(dev_frames))
-    rt_ms = (time.perf_counter() - t0) / (iters * K * 3 * batch) * 1000
+    rt_ms = timed_chain(roundtrip_step, dev_frames)
     DETAIL["transform_roundtrip_ms_per_frame"] = round(rt_ms, 3)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(chained_decode(pays, nchs, qns, lins, lp))
-    dec_ms = (time.perf_counter() - t0) / (iters * K * batch) * 1000
+    dec_ms = timed_chain(decode_step, pays, nchs, qns, lins, lp)
     DETAIL["full_decode_ms_per_frame"] = round(dec_ms, 3)
 
     encode_fps = 1000.0 / enc_ms

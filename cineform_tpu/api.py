@@ -82,6 +82,14 @@ class PixelFormat(enum.IntEnum):
     AR10 = _fourcc("AR10")
     RG64 = _fourcc("RG64")
     NV12 = _fourcc("NV12")
+    # decoder-only output formats (`Common/CFHDTypes.h:63-70`)
+    YUYV = _fourcc("yuyv")
+    BGRa = _fourcc("BGRa")
+    R408 = _fourcc("R408")
+    V408 = _fourcc("V408")
+    WP13 = _fourcc("WP13")
+    W13A = _fourcc("W13A")
+    BYR2 = _fourcc("BYR2")
 
 
 class EncodedFormat(enum.IntEnum):
@@ -504,7 +512,9 @@ class Decoder:
                       PixelFormat.V210, PixelFormat.RG48, PixelFormat.BGRA,
                       PixelFormat.B64A, PixelFormat.NV12, PixelFormat.R210,
                       PixelFormat.DPX0, PixelFormat.RG30,
-                      PixelFormat.BYR4)
+                      PixelFormat.BYR4, PixelFormat.BYR2, PixelFormat.YUYV,
+                      PixelFormat.BGRa, PixelFormat.RG24, PixelFormat.R408,
+                      PixelFormat.V408, PixelFormat.WP13, PixelFormat.W13A)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -737,12 +747,17 @@ class Decoder:
                 # reconstruction with the per-writer saturation semantics
                 # and the alpha decompand (intra_host.decode_sample_rgb)
                 fourcc = {PixelFormat.RG48: "RG48",
-                          PixelFormat.B64A: "b64a"}.get(self.output_format)
+                          PixelFormat.B64A: "b64a",
+                          PixelFormat.WP13: "WP13",
+                          PixelFormat.W13A: "W13A",
+                          PixelFormat.BGRA: "BGRA",
+                          PixelFormat.BGRa: "BGRa",
+                          PixelFormat.RG24: "RG24"}.get(self.output_format)
                 if fourcc is None:
                     raise CFHDError(
                         ErrorCode.BADFORMAT,
                         f"RGB-source decode to {self.output_format!r} "
-                        f"(RG48 and b64a outputs are supported)")
+                        f"(RG48/b64a/WP13/W13A/BGRA/BGRa/RG24 outputs)")
                 out, _ = intra_host.decode_sample_rgb(sample, fourcc)
             elif info0 is not None and \
                     getattr(info0, "encoded_format", 0) == 2:  # BAYER
@@ -753,12 +768,15 @@ class Decoder:
                           PixelFormat.B64A: "b64a",
                           PixelFormat.YUY2: "YUY2",
                           PixelFormat.UYVY: "2vuy",
-                          PixelFormat.BYR4: "BYR4"}.get(self.output_format)
+                          PixelFormat.BYR4: "BYR4",
+                          PixelFormat.BYR2: "BYR2",
+                          PixelFormat.WP13: "WP13",
+                          PixelFormat.W13A: "W13A"}.get(self.output_format)
                 if fourcc is None:
                     raise CFHDError(
                         ErrorCode.BADFORMAT,
                         f"Bayer decode to {self.output_format!r} (RG48, "
-                        f"b64a, YUY2, 2vuy and BYR4 outputs)")
+                        f"b64a, YUY2, 2vuy, BYR4, BYR2, WP13, W13A)")
                 out = intra_host.decode_sample_bayer_to(sample, fourcc)
             elif info0 is not None and (self.width, self.height) != \
                     (info0.width, info0.height):
@@ -778,7 +796,14 @@ class Decoder:
                           PixelFormat.BGRA: "BGRA",
                           PixelFormat.B64A: "b64a", PixelFormat.NV12: "NV12",
                           PixelFormat.R210: "r210", PixelFormat.DPX0: "DPX0",
-                          PixelFormat.RG30: "RG30"}[self.output_format]
+                          PixelFormat.RG30: "RG30",
+                          PixelFormat.YUYV: "yuyv",
+                          PixelFormat.BGRa: "BGRa",
+                          PixelFormat.RG24: "RG24",
+                          PixelFormat.R408: "R408",
+                          PixelFormat.V408: "V408",
+                          PixelFormat.WP13: "WP13",
+                          PixelFormat.W13A: "W13A"}[self.output_format]
                 out = intra_host.decode_sample_to(sample, fourcc)
             row_bytes = {
                 PixelFormat.YUY2: 2 * self.width,
@@ -793,6 +818,14 @@ class Decoder:
                 PixelFormat.DPX0: 4 * self.width,
                 PixelFormat.RG30: 4 * self.width,
                 PixelFormat.BYR4: 2 * self.width,
+                PixelFormat.BYR2: 2 * self.width,
+                PixelFormat.YUYV: 2 * self.width,
+                PixelFormat.BGRa: 4 * self.width,
+                PixelFormat.RG24: 3 * self.width,
+                PixelFormat.R408: 4 * self.width,
+                PixelFormat.V408: 4 * self.width,
+                PixelFormat.WP13: 6 * self.width,
+                PixelFormat.W13A: 8 * self.width,
             }[self.output_format]
             if len(out) != self.height * row_bytes:
                 raise CFHDError(

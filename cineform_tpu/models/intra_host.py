@@ -576,8 +576,10 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     from cineform_tpu.ref import demosaic as dm
 
     G, RG, BG, GD = decode_sample_bayer_row16u(sample)
-    if fourcc == "BYR4":
-        lut = dm.log2lin_lut()
+    if fourcc in ("BYR4", "BYR2"):
+        # BYR2 is GenerateBYR2 without the linear-restore curve: the
+        # low bit is masked instead (`Codec/bayer.c:13322-13328`)
+        lut = dm.log2lin_lut() if fourcc == "BYR4" else None
         r, g1, g2, b = dm.generate_byr2_components(G, RG, BG, GD, lut)
         h, w = G.shape
         out = np.zeros((h * 2, w * 2), np.uint16)
@@ -586,6 +588,13 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         out[1::2, 0::2] = g2
         out[1::2, 1::2] = b
         return out.astype("<u2").tobytes()
+    if fourcc in ("WP13", "W13A"):
+        # the Active-Metadata working format: the byte-exact RG48 chain
+        # shifted to the 13-bit whitepoint (+ opaque 8191 alpha)
+        rgb = np.frombuffer(decode_sample_bayer_to(sample, "RG48"), "<u2")
+        h2, w2 = 2 * G.shape[0], 2 * G.shape[1]
+        return _wp13_pack((rgb.astype(np.int64) >> 3).reshape(h2, w2, 3),
+                          fourcc)
     if fourcc in ("YUY2", "2vuy"):
         # 8-bit outputs use the bilinear (non-hq, unsharpened) debayer
         # then the deterministic YUYV conversion — byte-exact
@@ -712,6 +721,24 @@ def decode_sample_rgb(sample: bytes,
     if fourcc == "RG48":
         out = np.stack([r, g, b], axis=-1)
         return out.astype("<u2").tobytes(), s
+    if fourcc in ("WP13", "W13A"):
+        # AM working format of an RGB 4:4:4 source: RG48 >> 3 (+ alpha)
+        rgb = np.stack([r, g, b], axis=-1).astype(np.int64) >> 3
+        return _wp13_pack(rgb, fourcc), s
+    if fourcc in ("BGRa", "BGRA", "RG24"):
+        # 8-bit RGB of an RGB 4:4:4 source: the reference dithers with
+        # rand()&127 rounding vectors (`ConvertPlanarRGB16uToPackedRGB32`,
+        # `Codec/convert.c:6192`) whose consumption order is not
+        # recoverable from its outputs; we round to nearest instead
+        # (within +/-1 of the binary, ~87% of bytes identical)
+        v8 = np.clip((np.stack([b, g, r], axis=-1) + 128) >> 8, 0, 255)
+        if fourcc == "RG24":
+            out = v8[::-1] if fourcc == "RG24" else v8
+            return out.astype(np.uint8).tobytes(), s
+        bgra = np.concatenate([v8, np.full((h, w, 1), 255, v8.dtype)], -1)
+        if fourcc == "BGRA":
+            bgra = bgra[::-1]          # bottom-up DIB rows
+        return bgra.astype(np.uint8).tobytes(), s
     if fourcc != "b64a":
         raise ValueError(f"RGB-444 decode to {fourcc!r} is not supported")
     if len(planes) == 3:
@@ -865,6 +892,129 @@ def decode_sample_yuv10(sample: bytes) -> list[np.ndarray]:
     return [(p >> 6).astype(np.int32) for p in decode_sample_deep16(sample)]
 
 
+def _chroma_444_smoothed(c: np.ndarray, width: int) -> np.ndarray:
+    """`ConvertYUVRow16uToYUV444`'s 4:2:2 -> 4:4:4 chroma smoothing
+    (`Codec/convert.c:13195`): the duplicated stream shifted by one,
+    each half pre-shifted >>1, saturating unsigned add —
+    out[2i] = (c[i-1]>>1) + (c[i]>>1), out[2i+1] = (c[i]>>1)*2."""
+    half = (c.astype(np.int64) & 0xFFFF) >> 1
+    prev = np.concatenate([half[:, :1], half[:, :-1]], axis=1)
+    out = np.empty(c.shape[:-1] + (width,), np.int64)
+    out[:, 0::2] = np.minimum(prev + half, 0xFFFF)
+    out[:, 1::2] = half * 2
+    return out
+
+
+#: ConvertLinesToOutput's fixed 5-bit dither lanes (`Codec/bayer.c:3528`,
+#: _mm_set_epi16 order reversed to lane order); Y/U share one pattern, V
+#: takes the other, and the patterns swap on odd rows
+_R408_DITHER_EVEN = np.array([2, 30, 6, 26, 10, 22, 14, 18], np.int64)
+_R408_DITHER_ODD = np.array([18, 14, 22, 10, 26, 6, 30, 2], np.int64)
+
+
+def _decode_sample_r408(sample: bytes, fourcc: str) -> bytes:
+    """R408 (AYUV) / V408 (UYVA) 8-bit 4:4:4:4 output, byte-exact:
+    Row16u planes (default offset) -> chroma 4:4:4 smoothing -> 16->13
+    bit srli -> fixed 5-bit dither lanes -> srai 5 -> packus; R408
+    subtracts 16 from Y with unsigned saturation
+    (`ConvertLinesToOutput`, `Codec/bayer.c:3497-3700`, driven through
+    `Row16uFull2OutputFormat`'s LUTYUV branch)."""
+    y16, c116, c216 = _decode_row16u_planes(sample, False)
+    h, w = y16.shape
+    u444 = _chroma_444_smoothed(c216, w)
+    v444 = _chroma_444_smoothed(c116, w)
+    cols = np.arange(w) % 8
+    rows_odd = (np.arange(h)[:, None] & 1).astype(bool)
+    d_yu = np.where(rows_odd, _R408_DITHER_ODD[cols][None, :],
+                    _R408_DITHER_EVEN[cols][None, :])
+    d_v = np.where(rows_odd, _R408_DITHER_EVEN[cols][None, :],
+                   _R408_DITHER_ODD[cols][None, :])
+
+    def conv(p, d):
+        v13 = (p.astype(np.int64) & 0xFFFF) >> 3
+        return np.clip(np.clip(v13 + d, -32768, 32767) >> 5, 0, 255)
+
+    y8 = conv(y16, d_yu)
+    u8 = conv(u444, d_yu)
+    v8 = conv(v444, d_v)
+    a8 = np.full_like(y8, 255)
+    if fourcc == "R408":
+        out = np.stack([a8, np.maximum(y8 - 16, 0), u8, v8], -1)
+    else:
+        out = np.stack([u8, y8, v8, a8], -1)
+    return out.astype(np.uint8).tobytes()
+
+
+def yuv16_to_wp13(y16: np.ndarray, c116: np.ndarray,
+                  c216: np.ndarray) -> np.ndarray:
+    """16-bit planar 4:2:2 YUV -> signed 13-bit-whitepoint RGB (H, W, 3),
+    the Active-Metadata working format (`ConvertYUVRow16uToBGRA64` with
+    format WP13: saturate=0, whitebitdepth=13, CG 709 constants,
+    `Codec/convert.c:12183-12460`; chroma duplicated, not smoothed)."""
+    h, w = y16.shape
+
+    def sat16(x):
+        return np.clip(x, -32768, 32767)
+
+    def mulhi(a, b):
+        return (a.astype(np.int64) * b) >> 16
+
+    mp = np.float32(8192.0)
+    ymult = int(mp * np.float32(1.164))
+    r_vmult = int(mp * np.float32(1.793))
+    g_vmult = int(mp * np.float32(0.534))
+    g_umult = int(mp * np.float32(0.213))
+    b_umult = int(mp * np.float32(2.115))
+
+    y15 = (y16.astype(np.int64) & 0xFFFF) >> 1
+    uu = sat16(np.repeat((c216.astype(np.int64) & 0xFFFF) >> 1, 2, 1)
+               - 16384)
+    vv = sat16(np.repeat((c116.astype(np.int64) & 0xFFFF) >> 1, 2, 1)
+               - 16384)
+    y14 = mulhi(sat16(y15 - 2048), ymult) << 2
+    r = sat16(y14 + (mulhi(vv, r_vmult) << 2)) >> 1
+    g = sat16(sat16(y14 - (mulhi(vv, g_vmult) << 2))
+              - (mulhi(uu, g_umult) << 2)) >> 1
+    b = sat16(y14 + (mulhi(uu, b_umult) << 2)) >> 1
+    return np.stack([r, g, b], -1)
+
+
+def _wp13_pack(rgb13: np.ndarray, fourcc: str) -> bytes:
+    if fourcc == "WP13":
+        return rgb13.astype("<i2").tobytes()
+    h, w, _ = rgb13.shape
+    out = np.empty((h, w, 4), np.int64)
+    out[..., :3] = rgb13
+    out[..., 3] = 8191                        # 13-bit opaque white
+    return out.astype("<i2").tobytes()
+
+
+def _decode_sample_rg24(sample: bytes) -> bytes:
+    """RG24 (8-bit BGR, bottom-up) output of a 4:2:2 sample, byte-exact:
+    the scalar `ConvertRow16uToDitheredRGB` loop (`Codec/convert.c:11390`)
+    with per-pixel-pair glibc rand()&0x7fff dither, rows in the decoder's
+    border-strips-first dispatch order."""
+    from cineform_tpu.utils.glibc_random import glibc_rand_sequence
+
+    y16, c116, c216 = _decode_row16u_planes(sample, False)
+    h, w = y16.shape
+    yv = (y16.astype(np.int64) & 0xFFFF)
+    u = np.repeat(c216.astype(np.int64) & 0xFFFF, 2, 1) - 32768
+    v = np.repeat(c116.astype(np.int64) & 0xFFFF, 2, 1) - 32768
+    ymult, r_v, g_v, g_u, b_u = 128 * 149, 230, 137, 55, 135  # CG 709
+    y = (yv - (16 << 8)) * ymult >> 7
+    draws = (glibc_rand_sequence(w * h) & 0x7FFF).astype(np.int64)
+    order = [0, 1, h - 2, h - 1] + list(range(2, h - 2))
+    dith = np.empty((h, w), np.int64)
+    for blk, r in enumerate(order):
+        dith[r] = draws[w * blk:w * (blk + 1)]
+    rr = (y + r_v * v + dith) >> 15
+    gg = (y - g_u * (u >> 1) - g_v * (v >> 1) + dith) >> 15
+    bb = (y + 2 * b_u * u + dith) >> 15
+    out = np.clip(np.stack([bb, gg, rr], -1), 0, 255).astype(np.uint8)
+    return out[::-1].tobytes()                # bottom-up rows
+
+
 def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
     """Decode to an alternate output pixel format.
 
@@ -872,14 +1022,32 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
     byte-exact YUY2 output); 'YU64' and 'v210' are byte-exact deep
     outputs (see decode_sample_yuv10: the deterministic 16-bit planar
     reconstruction + `ConvertPlanarYUVToYU64`/`ConvertPlanarYUVToV210`
-    precision-16 repack, `Codec/convert.c:13985/13526`)."""
+    precision-16 repack, `Codec/convert.c:13985/13526`).  The round-4
+    tail — yuyv/BGRa/RG24/R408/V408/WP13/W13A — is byte-exact against
+    decode_fmt goldens from the reference binary."""
     if fourcc == "2vuy":
         yuy2, _ = decode_sample(sample)
         a = np.frombuffer(yuy2, np.uint8).reshape(-1, 4)
         out = a[:, [1, 0, 3, 2]]
         return np.ascontiguousarray(out).tobytes()
+    if fourcc == "yuyv":
+        # DECODED_FORMAT_YUYV is the same byte layout as YUY2
+        return decode_sample(sample)[0]
     if fourcc == "BGRA":
         return decode_sample_bgra(sample)
+    if fourcc == "BGRa":
+        # BGRa is BGRA without the bottom-up row inversion
+        s = parse_sample(sample)
+        rows = np.frombuffer(decode_sample_bgra(sample), np.uint8)
+        return np.ascontiguousarray(
+            rows.reshape(s.height, -1)[::-1]).tobytes()
+    if fourcc == "RG24":
+        return _decode_sample_rg24(sample)
+    if fourcc in ("R408", "V408"):
+        return _decode_sample_r408(sample, fourcc)
+    if fourcc in ("WP13", "W13A"):
+        return _wp13_pack(yuv16_to_wp13(*_decode_row16u_planes(
+            sample, False)), fourcc)
     return pack_deep_output(fourcc, decode_sample_deep16(sample),
                             lambda: _decode_deep16_rgbbias(sample))
 

@@ -280,3 +280,41 @@ def test_custom_quantization_override():
                       np.uint8).astype(float)
     psnr = 10 * np.log10(255 ** 2 / np.mean((a - b) ** 2))
     assert psnr > 30, psnr
+
+
+def test_decoder_api_tail_output_formats():
+    """The round-4 output tail is reachable through api.Decoder for all
+    three source families (byte sizes checked; byte-exactness pinned in
+    test_formats.py)."""
+    import os
+    G = os.path.join(os.path.dirname(__file__), "golden", "samples")
+
+    def load(n):
+        with open(os.path.join(G, n), "rb") as f:
+            return f.read()
+
+    yuv = load("s_320x240_q4_p1.cfhd")
+    for pf, bpp in ((api.PixelFormat.YUYV, 2), (api.PixelFormat.BGRa, 4),
+                    (api.PixelFormat.RG24, 3), (api.PixelFormat.R408, 4),
+                    (api.PixelFormat.V408, 4), (api.PixelFormat.WP13, 6),
+                    (api.PixelFormat.W13A, 8)):
+        dec = api.Decoder()
+        dec.prepare_to_decode(0, 0, pf, sample=yuv)
+        out = dec.decode_sample(yuv)
+        assert out.size == 320 * 240 * bpp, pf
+
+    bayer = load("byr4_320x240_q4_p1.cfhd")
+    for pf, bpp in ((api.PixelFormat.BYR2, 2), (api.PixelFormat.WP13, 6),
+                    (api.PixelFormat.W13A, 8)):
+        dec = api.Decoder()
+        dec.prepare_to_decode(0, 0, pf, sample=bayer)
+        out = dec.decode_sample(bayer)
+        assert out.size == 320 * 240 * bpp, pf
+
+    rgb = load("rg48_320x240_q4_p1.cfhd")
+    for pf, bpp in ((api.PixelFormat.WP13, 6), (api.PixelFormat.W13A, 8),
+                    (api.PixelFormat.BGRa, 4), (api.PixelFormat.RG24, 3)):
+        dec = api.Decoder()
+        dec.prepare_to_decode(0, 0, pf, sample=rgb)
+        out = dec.decode_sample(rgb)
+        assert out.size == 320 * 240 * bpp, pf

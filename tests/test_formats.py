@@ -371,3 +371,75 @@ def test_rgb_source_decode_through_api():
     dec.prepare_to_decode(0, 0, api.PixelFormat.B64A, sample=sample)
     assert dec.decode_sample(sample).tobytes() == \
         _golden("rgb444_320x240_q4.b64aout")
+
+
+def test_decode_output_tail_yuv_byte_exact():
+    """Round-4 output-format tail of a 4:2:2 YUV sample: yuyv (same bytes
+    as YUY2), BGRa (top-down BGRA), RG24 (rand-dithered 8-bit BGR,
+    bottom-up), R408/V408 (8-bit AYUV/UYVA with the fixed dither lanes),
+    WP13/W13A (the signed 13-bit Active-Metadata working format) — all
+    byte-exact vs decode_fmt goldens from the reference binary."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    for fmt, gname in (("yuyv", "yuyvout"), ("BGRa", "bgra_sdout"),
+                       ("RG24", "rg24out"), ("R408", "r408out"),
+                       ("V408", "v408out"), ("WP13", "wp13out"),
+                       ("W13A", "w13aout")):
+        assert decode_sample_to(sample, fmt) == _golden(
+            f"s_320x240_q4_p1.{gname}"), fmt
+
+
+def test_decode_output_tail_bayer_byte_exact():
+    """BYR2 (GenerateBYR2 without the linear-restore curve) and
+    WP13/W13A outputs of a Bayer sample, byte-exact vs the binary."""
+    from cineform_tpu.models.intra_host import decode_sample_bayer_to
+
+    sample = _golden("byr4_320x240_q4_p1.cfhd")
+    for fmt, gname in (("BYR2", "byr2out"), ("WP13", "wp13out"),
+                       ("W13A", "w13aout")):
+        assert decode_sample_bayer_to(sample, fmt) == _golden(
+            f"byr4_320x240_q4_p1.{gname}"), fmt
+
+
+def test_decode_output_tail_rgb_byte_exact():
+    """WP13/W13A outputs of an RGB 4:4:4 sample (RG48 >> 3 + alpha),
+    byte-exact vs the binary."""
+    from cineform_tpu.models.intra_host import decode_sample_rgb
+
+    sample = _golden("rg48_320x240_q4_p1.cfhd")
+    for fmt, gname in (("WP13", "wp13out"), ("W13A", "w13aout")):
+        out, _ = decode_sample_rgb(sample, fmt)
+        assert out == _golden(f"rg48_320x240_q4_p1.{gname}"), fmt
+
+
+def test_decode_output_rgb8_of_rgb_sample_near_exact():
+    """BGRa/RG24 8-bit outputs of an RGB 4:4:4 sample: the reference
+    rounds with rand()&127 vectors (ConvertPlanarRGB16uToPackedRGB32);
+    our round-to-nearest stays within +/-1 everywhere."""
+    from cineform_tpu.models.intra_host import decode_sample_rgb
+
+    sample = _golden("rg48_320x240_q4_p1.cfhd")
+    for fmt, gname, ch in (("BGRa", "bgra_sdout", 4), ("RG24", "rg24out", 3)):
+        out, _ = decode_sample_rgb(sample, fmt)
+        mine = np.frombuffer(out, np.uint8).astype(int)
+        gold = np.frombuffer(_golden(f"rg48_320x240_q4_p1.{gname}"),
+                             np.uint8).astype(int)
+        d = np.abs(mine - gold)
+        assert d.max() <= 1, (fmt, d.max())
+        assert (d > 0).mean() < 0.2, (fmt, (d > 0).mean())
+
+
+def test_encode_tail_inputs_pinned_rejection():
+    """b48r/WP13/W13A/R408/V408/BYR2/YV12/NV12 encode: the reference SDK
+    itself REJECTS these (CFHD_EncodeSample returns BADFORMAT — they are
+    absent from CSampleEncoder's input list, `SampleEncoder.cpp:60-88`;
+    verified against the binary via probe_sample encode_raw).  Our
+    encoder rejects them the same way."""
+    for fourcc in ("b48r", "WP13", "W13A", "R408", "V408", "BYR2",
+                   "YV12", "NV12"):
+        code = sum(ord(c) << (8 * (3 - i)) for i, c in enumerate(fourcc))
+        enc = api.Encoder()
+        with pytest.raises(api.CFHDError):
+            enc.prepare_to_encode(320, 240, code)
+            enc.encode_sample(b"\0" * (320 * 240 * 8))
