@@ -70,8 +70,17 @@ def _init_backend(max_wait_s: float = 600.0):
 
 def main() -> None:
     _init_backend()
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: a retried/rerun bench must not pay
+    # (or re-risk) the remote AOT compiles again.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cineform_tpu.models.intra import IntraCodec
     from cineform_tpu.utils.testframes import yuy2_frame
@@ -98,17 +107,30 @@ def main() -> None:
     # while the underlying step programs compile fine standalone.
     K = 16
 
-    # full encode: transform + quant + entropy coding + bit packing in HBM
+    # full encode: transform + quant + entropy coding + bit packing in HBM.
+    # Staged (forward + six entropy programs + tiny salt/reduce programs)
+    # because the fused forward_packed program's optimized MLIR (~13 MB)
+    # SIGKILLs this environment's remote AOT compiler; the stages dispatch
+    # asynchronously and run back-to-back on the chip.
     @jax.jit
-    def encode_step(fr, salt):
-        fr = fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
-        out = codec.forward_packed(fr)
+    def _salt_frames(fr, salt):
+        return fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
+
+    @jax.jit
+    def _encode_reduce(lows, nbits_list):
         s = jnp.int32(0)
-        for lowpass, packed in out:
+        for lowpass in lows:
             s = s + lowpass[:, 0, 0].astype(jnp.int32).sum()
-            for words, nbits, ovf in packed:
-                s = s + nbits[:, 0].astype(jnp.int32).sum()
+        for nbits in nbits_list:
+            s = s + nbits[:, 0].astype(jnp.int32).sum()
         return s
+
+    def encode_step(fr, salt):
+        fr = _salt_frames(fr, salt)
+        out = codec.forward_packed_staged(fr)
+        lows = tuple(lowpass for lowpass, _ in out)
+        nbs = tuple(nbits for _, packed in out for _, nbits, _ in packed)
+        return _encode_reduce(lows, nbs)
 
     # transform-only roundtrip (round-1 metric, for comparison)
     @jax.jit
@@ -137,13 +159,24 @@ def main() -> None:
     parse_ms = (time.perf_counter() - t0) / batch * 1000
     assert not fb, f"bench samples fell back: {fb}"
 
+    # Staged like the encode step: the 6 per-class entropy decode
+    # programs + the fused inverse dispatch back-to-back; fusing them
+    # into one traced program compiles 4x slower (and risks the remote
+    # compiler's memory ceiling).
     @jax.jit
+    def _salt_lp(lp0, salt):
+        return lp0 + (salt & 1)
+
+    @jax.jit
+    def _decode_reduce(out):
+        return out[:, 0, 0].astype(jnp.int32).sum()
+
     def decode_step(pays, nchs, qns, lins, lp, salt):
         # chain via the lowpass plane (payload bytes must stay intact)
-        lp = (lp[0] + (salt & 1),) + tuple(lp[1:])
+        lp = (_salt_lp(lp[0], salt),) + tuple(lp[1:])
         out, ovf = codec._decode_device_program(
             pays, nchs, qns, lins, lp, batch, 0)
-        return out[:, 0, 0].astype(jnp.int32).sum()
+        return _decode_reduce(out)
 
     dev_frames = jax.device_put(jnp.asarray(frames))
     mse = float(roundtrip_mse(dev_frames))    # quality stat + warm
@@ -166,14 +199,17 @@ def main() -> None:
     # counts (scalar-sized fetches), for the dense noise content and the
     # smooth gradient content (QBist-like; comparable to the reference
     # README's 8.7-21.8:1 ratios on algorithmic patterns)
-    def _stats(f):
-        out = codec.forward_packed(f)
-        bits = jnp.stack([p[1].sum() for _, packed in out for p in packed])
-        novf = sum(p[2].astype(jnp.int32).sum()
-                   for _, packed in out for p in packed)
+    @jax.jit
+    def _stats_reduce(nbs, ovfs):
+        bits = jnp.stack([b.sum() for b in nbs])
+        novf = sum(o.astype(jnp.int32).sum() for o in ovfs)
         return bits, novf
 
-    stats_fn = jax.jit(_stats)
+    def stats_fn(f):
+        out = codec.forward_packed_staged(f)
+        nbs = tuple(p[1] for _, packed in out for p in packed)
+        ovfs = tuple(p[2] for _, packed in out for p in packed)
+        return _stats_reduce(nbs, ovfs)
     lowpass_bytes = sum(2 * (h >> 3) * ((w if c == 0 else w // 2) >> 3)
                         for c in range(3))
 

@@ -269,6 +269,63 @@ class IntraCodec:
 
     # --- fully device-side encode: transform + quant + entropy pack ---------
 
+    def _band_groups(self, coeffs) -> list[list[int]]:
+        """Group channels of equal plane shape so each distinct band shape
+        instantiates the entropy coder ONCE (chroma pairs for 4:2:2; all
+        3-4 channels for RGB/RGBA/Bayer)."""
+        groups: list[list[int]] = []
+        for ch in range(len(coeffs)):
+            shape = coeffs[ch][1][0][0].shape[-2:]
+            if groups and coeffs[groups[-1][0]][1][0][0].shape[-2:] == shape:
+                groups[-1].append(ch)
+            else:
+                groups.append([ch])
+        return groups
+
+    @partial(jax.jit, static_argnums=(0, 2))
+    def _encode_group_program(self, trios, cap_bits: int):
+        """One (wavelet level, channel group) entropy program: tuple of
+        G*3 (B, h, w) quantized band planes -> packed words/bit counts/
+        overflow flags, (B, G, ...) each.  Split out as its own jitted
+        program: the single fused forward_packed program lowers to ~3 MB
+        of MLIR (13 MB optimized), which this environment's remote AOT
+        compiler cannot hold — six ~0.4 MB programs with device-resident
+        intermediates compile fine and run back-to-back."""
+        from cineform_tpu.entropy import device as edev
+
+        G = len(trios) // 3
+        h, w = trios[0].shape[-2:]
+        pitch = intra_host.align16_pixels(w)
+        t = jnp.stack([jnp.stack(trios[3 * g:3 * g + 3], axis=1)
+                       for g in range(G)], axis=1)
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pitch - w)))
+        flat = t.reshape(t.shape[0], G, 3, h * pitch)
+        return edev.encode_band_arrays(flat, codeset=17,
+                                       cap_bits_per_elem=cap_bits)
+
+    def forward_packed_staged(self, frames: jnp.ndarray, cap_bits: int = 8):
+        """forward_packed as a pipeline of small jitted programs (the
+        transform program + one entropy program per level x channel
+        group) with intermediates in HBM.  Identical results; compiles
+        on the tunnel's remote AOT compiler where the fused program is
+        SIGKILLed.  Dispatch is async, so the pieces run back-to-back on
+        the chip like the fused version."""
+        coeffs = self.forward(frames)
+        groups = self._band_groups(coeffs)
+        nch = len(coeffs)
+        packed_by_ch: list[list] = [[] for _ in range(nch)]
+        nlevels = len(coeffs[0][1])
+        for k in range(nlevels):
+            for grp in groups:
+                trios = tuple(coeffs[ch][1][k][b]
+                              for ch in grp for b in range(3))
+                words, nbits, ovf = self._encode_group_program(
+                    trios, cap_bits)
+                for gi, ch in enumerate(grp):
+                    packed_by_ch[ch].append((words[:, gi], nbits[:, gi],
+                                             ovf[:, gi]))
+        return [(coeffs[ch][0], packed_by_ch[ch]) for ch in range(nch)]
+
     @partial(jax.jit, static_argnums=(0, 2))
     def forward_packed(self, frames: jnp.ndarray, cap_bits: int = 8):
         """(B, H, 2W) uint8 YUY2 -> per-channel (lowpass planes, per-band
@@ -281,17 +338,7 @@ class IntraCodec:
 
         coeffs = self.forward(frames)
         nch = len(coeffs)
-        # Group channels of equal plane shape so each distinct band shape
-        # instantiates the entropy coder ONCE (chroma pairs for 4:2:2;
-        # all 3-4 channels for RGB/RGBA/Bayer): ~40% less program to
-        # compile and the coder runs wider batches.
-        groups: list[list[int]] = []
-        for ch in range(nch):
-            shape = coeffs[ch][1][0][0].shape[-2:]
-            if groups and coeffs[groups[-1][0]][1][0][0].shape[-2:] == shape:
-                groups[-1].append(ch)
-            else:
-                groups.append([ch])
+        groups = self._band_groups(coeffs)
         packed_by_ch: list[list] = [[] for _ in range(nch)]
         nlevels = len(coeffs[0][1])
         for k in range(nlevels):
@@ -348,7 +395,8 @@ class IntraCodec:
         p = self.params
         dev_frames = (jax.device_put(frames, sharding)
                       if sharding is not None else jnp.asarray(frames))
-        result = jax.device_get(self.forward_packed(dev_frames, cap_bits))
+        result = jax.device_get(
+            self.forward_packed_staged(dev_frames, cap_bits))
         batch = frames.shape[0]
         frame_numbers, metadata = self._frame_meta(
             batch, first_frame_number, frame_numbers, metadata)
