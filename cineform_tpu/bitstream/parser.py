@@ -104,6 +104,15 @@ def parse_sample(data: bytes) -> IntraSample:
             payload = data[pos:pos + value * 4]
             if at == tags.METADATA_CHUNK:
                 s.metadata.append(payload)
+            elif at == tags.PEAK_TABLE:
+                # peaks table for the band just closed
+                # (`Codec/encoder.c:6574`: chunk of raw LE int16
+                # dequantized values written after the band trailer;
+                # `Codec/decoder.c:23996` skips the chunk because the
+                # OFFSET_L/H + PEAK_LEVEL tags before the band already
+                # aimed peak_table.base at this data)
+                if chan is not None and chan.bands:
+                    chan.bands[-1].peaks = np.frombuffer(payload, "<i2")
             pos += value * 4
             continue
         if at >= tags.CHUNK24BIT:
@@ -139,13 +148,6 @@ def parse_sample(data: bytes) -> IntraSample:
                         data_offset=pos + 4,
                     ))
                     band.clear()
-                pos += size
-            elif kind == tags.PEAK_TABLE:
-                # peaks table for the band just closed
-                # (`Codec/encoder.c:6574`): int16 LE dequantized values
-                if chan is not None and chan.bands:
-                    chan.bands[-1].peaks = np.frombuffer(
-                        data[pos:pos + size], dtype="<i2")
                 pos += size
             elif kind == tags.SAMPLE_SIZE:
                 # record where this (eye's) sample ends; a stereo 3D sample

@@ -113,15 +113,20 @@ def decode_group(sample: bytes, reference_compatible: bool = True,
                 quant=b.quantization)
             vals = vals.reshape(b.height, pitchw)[:, :b.width]
             if b.peaks is not None and b.peak_level:
-                # peaks substitution (`Codec/decoder.c:19809`): decoded
-                # values beyond PEAK_LEVEL take the exact value from the
-                # band's peak table, in raster order
+                # peaks substitution (`Codec/decoder.c:19808`
+                # DecodeBandFSM16sNoGapWithPeaks): decoded values beyond
+                # PEAK_LEVEL take the next value from the band's peak
+                # table, in raster order, as (peak / quant) * quant with
+                # C truncating division (the FSM writes peak/quant into
+                # the raw band, which the dequant pass multiplies back)
                 mask = np.abs(vals) > b.peak_level
                 flat = vals[mask]
                 # bound by the peak table length: a truncated/corrupt sample
                 # may decode more over-peak values than the table holds
                 nsub = min(flat.size, b.peaks.size)
-                flat[:nsub] = b.peaks[:nsub]
+                q = b.quantization
+                pk = b.peaks[:nsub].astype(np.int32)
+                flat[:nsub] = (np.abs(pk) // q) * np.sign(pk) * q
                 vals = vals.copy()
                 vals[mask] = flat
             bands[widx][slot] = vals

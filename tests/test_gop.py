@@ -269,21 +269,21 @@ def test_gop_deep_outputs_byte_exact():
         _golden("gop_320x240_q4_p1.rg48out")
 
 
-def test_interlaced_gop_decode_dither():
-    """Interlaced GROUP decode with the output dither replicated
-    (InvertInterlacedRow16s10bitToYUV, temporal.c:5994: 16 rand()&1 per
-    row pair, luma groups alternating rounding1/rounding2 with the odd
-    row swapped, chroma lanes fixed per channel; absolute +48 lowpass
-    offset).  >99.5% byte-exact, residual within +-1 (a value-edge case
-    in three row-pair clusters remains open)."""
+def test_interlaced_gop_decode_byte_exact():
+    """Interlaced GROUP decode is BYTE-EXACT vs the reference decoder:
+    output dither replicated (InvertInterlacedRow16s10bitToYUV,
+    temporal.c:5994: 16 rand()&1 per row pair, luma groups alternating
+    rounding1/rounding2 with the odd row swapped, chroma lanes fixed per
+    channel; absolute +48 lowpass offset) AND peaks substitution
+    (DecodeBandFSM16sNoGapWithPeaks, decoder.c:19808: decoded values
+    beyond PEAK_LEVEL take (peak/quant)*quant from the band's PEAK_TABLE
+    chunk — the old +/-1 'dither edge case' was this table being
+    dropped by the parser)."""
     grp = _golden("ilace_320x240_q4_p1.cfhd.f1")
     f0, f1 = gop_host.decode_group(grp)
     for i, mine in enumerate((f0, f1)):
-        gold = np.frombuffer(_golden(f"ilace_320x240_q4_p1.f{i}.yuy2"),
-                             np.uint8).astype(int)
-        a = np.frombuffer(mine, np.uint8).astype(int)
-        assert np.abs(a - gold).max() <= 1
-        assert (a == gold).mean() > 0.995
+        gold = _golden(f"ilace_320x240_q4_p1.f{i}.yuy2")
+        assert mine == gold, f"frame {i} differs"
 
 
 def test_gop_stream_protocol_encode_byte_exact():
