@@ -25,14 +25,14 @@ _lib.encode_band.argtypes = [
     ctypes.c_uint32, ctypes.c_int,                       # band end
     ctypes.c_void_p, ctypes.c_int64,                     # out
 ]
-_lib.decode_band.restype = ctypes.c_int64
-_lib.decode_band.argtypes = [
+_lib.decode_band_ex.restype = ctypes.c_int64
+_lib.decode_band_ex.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_int,
     ctypes.c_uint32, ctypes.c_int,
-    ctypes.c_int32, ctypes.c_void_p,
+    ctypes.c_int32, ctypes.c_void_p, ctypes.c_int,
 ]
 
 
@@ -108,21 +108,27 @@ def encode_band_bytes(values: np.ndarray, codeset: int = 17) -> bytes:
 
 
 def decode_band(data: bytes, num_coeffs: int, codeset: int = 17,
-                quant: int = 1, start_bit: int = 0) -> tuple[np.ndarray, int]:
+                quant: int = 1, start_bit: int = 0,
+                tolerant: bool = True) -> tuple[np.ndarray, int]:
     """Decode one band; returns (int32 dequantized coefficients, end bit).
 
     Dequantization uses the int16-wrapping multiply of DeQuantFSM
-    (`Codec/decoder.c:20551`)."""
+    (`Codec/decoder.c:20551`).  By default the decode is error-tolerant
+    like the reference's ERROR_TOLERANT=1 build (decoder.c:128): a
+    corrupt payload returns the reference's exact partial decode (the
+    caller's band boundaries come from the trailer-tag scan, our
+    SkipSubband equivalent) instead of raising.  Pass tolerant=False
+    for the strict mode used by encoder self-checks."""
     t = _DecodeTables(codeset)
     buf = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(num_coeffs, dtype=np.int32)
-    end = _lib.decode_band(
+    end = _lib.decode_band_ex(
         _ptr(buf), buf.size, start_bit, num_coeffs,
         _ptr(t.lut_size), _ptr(t.lut_count), _ptr(t.lut_value), t.LUT_BITS,
         _ptr(t.long_size), _ptr(t.long_bits), _ptr(t.long_count),
         _ptr(t.long_value), len(t.long_size),
         t.bandend_bits, t.bandend_size,
-        quant, _ptr(out))
+        quant, _ptr(out), 1 if tolerant else 0)
     if end < 0:
         raise ValueError("entropy decode error")
     return out, int(end)

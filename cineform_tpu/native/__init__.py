@@ -15,10 +15,27 @@ import tempfile
 _DIR = os.path.dirname(__file__)
 
 
+def _machine_key() -> bytes:
+    """CPU feature fingerprint: the .so is built with -march=native, so
+    a binary cached by one machine can SIGILL on another — key the
+    cache on the host's instruction-set flags."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split())).encode()).digest()
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine().encode()
+
+
 def _build(name: str) -> str:
     src = os.path.join(_DIR, f"{name}.cpp")
     with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        digest = hashlib.sha256(f.read() + _machine_key()).hexdigest()[:16]
     so_path = os.path.join(_DIR, f"_{name}_{digest}.so")
     if not os.path.exists(so_path):
         with tempfile.TemporaryDirectory() as tmp:

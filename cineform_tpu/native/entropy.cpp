@@ -123,16 +123,26 @@ int64_t encode_band(const int32_t *values, int64_t n,
  *   value with expansion applied).
  * quant: dequantizer; the multiply wraps to int16 (DeQuantFSM semantics).
  * out: num_coeffs int32 results.
- * Returns the bit position just after the band-end code, or -1 on error. */
-int64_t decode_band(const uint8_t *data, int64_t nbytes, int64_t start_bit,
-                    int64_t num_coeffs,
-                    const int32_t *lut_size, const int32_t *lut_count,
-                    const int32_t *lut_value, int lut_bits,
-                    const int32_t *long_size, const uint32_t *long_bits,
-                    const int32_t *long_count, const int32_t *long_value,
-                    int nlong,
-                    uint32_t bandend_bits, int bandend_size,
-                    int32_t quant, int32_t *out)
+ * Returns the bit position just after the band-end code, or -1 on error.
+ *
+ * With tolerant != 0 this replicates the reference's ERROR_TOLERANT FSM
+ * loop (`DecodeBandFSM16sNoGap`, Codec/decoder.c:19649-19806, built with
+ * ERROR_TOLERANT=1): decoding stops when the write cursor passes the
+ * band end (`while (bandendptr >= rowptr)`) or the stream is exhausted,
+ * writes beyond the band are dropped while the cursor still advances,
+ * zero runs are not clamped, and the partial result is returned with
+ * the caller resynchronizing on the band trailer tag (SkipSubband) --
+ * so a corrupt payload yields the reference's exact garbage instead of
+ * an error. */
+int64_t decode_band_ex(const uint8_t *data, int64_t nbytes, int64_t start_bit,
+                       int64_t num_coeffs,
+                       const int32_t *lut_size, const int32_t *lut_count,
+                       const int32_t *lut_value, int lut_bits,
+                       const int32_t *long_size, const uint32_t *long_bits,
+                       const int32_t *long_count, const int32_t *long_value,
+                       int nlong,
+                       uint32_t bandend_bits, int bandend_size,
+                       int32_t quant, int32_t *out, int tolerant)
 {
     memset(out, 0, (size_t)num_coeffs * sizeof(int32_t));
     int64_t bitpos = start_bit;
@@ -141,7 +151,9 @@ int64_t decode_band(const uint8_t *data, int64_t nbytes, int64_t start_bit,
     const int window_bits = 26; /* >= longest code + sign bit */
 
     while (true) {
-        if (bitpos + bandend_size > total_bits) return -1;
+        if (tolerant && pos >= num_coeffs) return total_bits;
+        if (bitpos + bandend_size > total_bits)
+            return tolerant ? total_bits : -1;
         /* load a 26-bit window at bitpos (over a 48-bit read) */
         int64_t byte0 = bitpos >> 3;
         uint64_t window = 0;
@@ -173,11 +185,13 @@ int64_t decode_band(const uint8_t *data, int64_t nbytes, int64_t start_bit,
                     break;
                 }
             }
-            if (k == nlong) return -1;
+            if (k == nlong) return tolerant ? total_bits : -1;
         }
         if (value == 0) {
+            /* zero runs advance the cursor unclamped, like the FSM's
+             * rowptr skips (writes past the band are dropped below) */
             pos += count;
-            if (pos > num_coeffs) pos = num_coeffs;
+            if (!tolerant && pos > num_coeffs) pos = num_coeffs;
         } else {
             /* sign bit follows a nonzero magnitude */
             int64_t sb = bitpos >> 3;
@@ -189,9 +203,26 @@ int64_t decode_band(const uint8_t *data, int64_t nbytes, int64_t start_bit,
             if (pos < num_coeffs) out[pos] = dq;
             pos++;
         }
-        if (pos > num_coeffs + 4096) return -1; /* runaway guard */
+        if (!tolerant && pos > num_coeffs + 4096) return -1;
     }
     return bitpos;
+}
+
+/* strict-mode entry point (the original ABI) */
+int64_t decode_band(const uint8_t *data, int64_t nbytes, int64_t start_bit,
+                    int64_t num_coeffs,
+                    const int32_t *lut_size, const int32_t *lut_count,
+                    const int32_t *lut_value, int lut_bits,
+                    const int32_t *long_size, const uint32_t *long_bits,
+                    const int32_t *long_count, const int32_t *long_value,
+                    int nlong,
+                    uint32_t bandend_bits, int bandend_size,
+                    int32_t quant, int32_t *out)
+{
+    return decode_band_ex(data, nbytes, start_bit, num_coeffs,
+                          lut_size, lut_count, lut_value, lut_bits,
+                          long_size, long_bits, long_count, long_value,
+                          nlong, bandend_bits, bandend_size, quant, out, 0);
 }
 
 } /* extern "C" */
