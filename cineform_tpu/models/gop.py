@@ -213,7 +213,7 @@ class GopCodec:
         (`Codec/decoder.c:11180` DecodeSampleGroup on the chip).  The
         pyramid border/tap quirks match gop_host.decode_group exactly
         (stale bottom taps on w5/w3, saturate-before->>1 combine)."""
-        from cineform_tpu.models.intra import _dither_planes
+        from cineform_tpu.models.intra import _dither_rows
 
         bands_by = {}
         ovfs = []
@@ -227,8 +227,12 @@ class GopCodec:
             ovfs.append(ovf)
         ovf_frame = jnp.stack(ovfs, axis=0).any(axis=0)
 
-        d00, d0c = _dither_planes(self.height, self.width, dither_base)
-        d10, d1c = _dither_planes(self.height, self.width, dither_base + 1)
+        r0 = jnp.asarray(_dither_rows(self.height, dither_base))
+        r1 = jnp.asarray(_dither_rows(self.height, dither_base + 1))
+        d00 = ops.expand_dither_rows(r0, self.width, 16)
+        d0c = ops.expand_dither_rows(r0, self.width // 2, 8)
+        d10 = ops.expand_dither_rows(r1, self.width, 16)
+        d1c = ops.expand_dither_rows(r1, self.width // 2, 8)
         f0planes, f1planes = [], []
         for ch in range(3):
             b = {widx: tuple(bands_by[(ch, widx, s)]
@@ -245,8 +249,7 @@ class GopCodec:
                 lh, hl, hh = wb
                 low = ops.v26_inverse(llf, hl)
                 high = ops.v26_inverse(lh, hh)
-                return ops.h26_inverse_to_output(
-                    low, high, 2, jnp.asarray(dither, jnp.int32))
+                return ops.h26_inverse_to_output(low, high, 2, dither)
 
             d0 = d00 if ch == 0 else d0c
             d1 = d10 if ch == 0 else d1c

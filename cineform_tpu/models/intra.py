@@ -32,15 +32,17 @@ from cineform_tpu.spec.production import IntraParams, intra_prescale
 
 
 @lru_cache(maxsize=64)
-def _dither_planes(height: int, width: int, frame_index: int = 0):
-    """Reference-exact output dither planes (luma, chroma) for the n-th
+def _dither_rows(height: int, frame_index: int = 0) -> np.ndarray:
+    """Reference-exact (H, 16) output dither row draws for the n-th
     decoded frame of a decoder process (glibc rand stream; see
-    ref/intra.decode_dither_rows).  Returned as uint8 numpy."""
+    ref/intra.decode_dither_rows), as uint8 numpy.  Jitted decoders
+    embed THESE (~17 KB at 1080p) and expand to the channel planes on
+    device (ops.expand_dither_rows) — baking expanded (H, W) planes as
+    program constants produced ~33 MB MLIR that hung AOT compilers."""
     from cineform_tpu.ref import intra as xf
 
-    rows = xf.decode_dither_rows(height, frame_index)
-    return (xf.decode_dither_plane(rows, width, 16).astype(np.uint8),
-            xf.decode_dither_plane(rows, width // 2, 8).astype(np.uint8))
+    return np.ascontiguousarray(
+        xf.decode_dither_rows(height, frame_index).astype(np.uint8))
 
 
 # device-side input unpack + the COLOR_FORMAT code for the sample header
@@ -239,10 +241,11 @@ class IntraCodec:
         models N parallel decoder processes at the same position)."""
         p = self.params
         prescale = p.prescale
-        dy, dc = _dither_planes(self.height, self.width, frame_index)
+        rows = jnp.asarray(_dither_rows(self.height, frame_index))
+        dy = ops.expand_dither_rows(rows, self.width, 16)
+        dc = ops.expand_dither_rows(rows, self.width // 2, 8)
         planes = [ops.inverse_channel_to_8bit(
-            lowpass, bands, prescale,
-            dither=jnp.asarray(dy if ch == 0 else dc, jnp.int32))
+            lowpass, bands, prescale, dither=dy if ch == 0 else dc)
             for ch, (lowpass, bands) in enumerate(coeffs)]
         return ops.pack_yuy2(*planes)
 

@@ -244,6 +244,28 @@ def h26_inverse(low: jnp.ndarray, high: jnp.ndarray, descale: int = 1) -> jnp.nd
     return _interleave(sat16(even), sat16(odd))
 
 
+def expand_dither_rows(row_draws: jnp.ndarray, width: int,
+                       group: int | None = None) -> jnp.ndarray:
+    """Device-side decode_dither_plane (ref/intra.py:615): expand the
+    (H, 16) per-row draw vectors to an (H, width) int32 plane.  The SSE
+    lane pattern `m%8 + 8*((m//8)%2)` is periodic with period 16, so the
+    expansion is a tile; the four border columns (and, when the width
+    leaves a half-step remainder of `group`, the final `group` columns —
+    the reference's undithered scalar tail) are zero.
+
+    Jitted decode programs embed only the (H, 16) draws as a constant
+    (~17 KB at 1080p); baking the expanded planes produced ~33 MB MLIR
+    programs that hung this environment's AOT compilers."""
+    h = row_draws.shape[0]
+    reps = -(-(width - 4) // 16)
+    mid = jnp.tile(row_draws.astype(jnp.int32), (1, reps))[:, :width - 4]
+    z2 = jnp.zeros((h, 2), jnp.int32)
+    d = jnp.concatenate([z2, mid, z2], axis=1)
+    if group and width % (2 * group) == group:
+        d = d.at[:, width - group:].set(0)
+    return d
+
+
 def h26_inverse_to_output(low: jnp.ndarray, high: jnp.ndarray,
                           descale_shift: int = 2,
                           dither: jnp.ndarray | None = None) -> jnp.ndarray:
