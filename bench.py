@@ -414,13 +414,17 @@ def main() -> None:
     # --- stage: decode prep (samples + row tensors; tunnel-light) -----------
     dec_args = None
     with stage("decode_prep", 600):
-        # Encode only 2 unique frames on device and tile the samples:
-        # the capacity-padded word fetch is the only bulk device->host
-        # pull in the bench and the tunnel drains it at ~0.2 MB/s.
+        # Encode 2 unique frames on HOST and tile the samples: the host
+        # encoder is byte-identical to the device path (test contract,
+        # tests/test_intra_jax.py) and costs no tunnel transfer — pulling
+        # the device path's capacity-padded words took ~500s at the
+        # tunnel's ~0.2 MB/s and blew this stage's budget in round 4.
+        from cineform_tpu.models.intra_host import encode_sample as _henc
         uniq = max(1, batch // 4)
         samples = run_with_timeout(
-            lambda: codec.encode_batch_device(frames[:uniq]),
-            570, "encode_batch_device")
+            lambda: [_henc(np.ascontiguousarray(frames[i]).tobytes(),
+                           w, h, quality) for i in range(uniq)],
+            570, "host_encode_samples")
         samples = (samples * ((batch + uniq - 1) // uniq))[:batch]
         t0 = time.perf_counter()
         pays, nchs, qns, lins, lp, fb = codec._decode_rows_args(samples)

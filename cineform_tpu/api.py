@@ -593,13 +593,82 @@ class Decoder:
         difference, freeview, anaglyph RC/AB/GM (+BW variants)."""
         self._channel_blend = int(mode)
 
-    # CFHD_DecodeSample
-    def decode_sample(self, sample: bytes) -> np.ndarray:
+    # --- decode dispatch tables ---------------------------------------------
+    # Output-format -> fourcc per SOURCE KIND, mirroring the reference's
+    # per-encoded-format converter selection (`DecoderSDK/SampleDecoder.cpp`
+    # output negotiation + `Codec/decoder.c:11584` format dispatch).
+
+    #: GOP (2-frame group) / FRAME sample deep outputs
+    _GOP_FOURCC = {PixelFormat.YU64: "YU64", PixelFormat.V210: "v210",
+                   PixelFormat.RG48: "RG48", PixelFormat.BGRA: "BGRA",
+                   PixelFormat.B64A: "b64a", PixelFormat.R210: "r210",
+                   PixelFormat.DPX0: "DPX0", PixelFormat.RG30: "RG30"}
+    #: RGB 4:4:4 / RGBA 4:4:4:4 sources (Row16u reconstruction)
+    _RGB_FOURCC = {PixelFormat.RG48: "RG48", PixelFormat.B64A: "b64a",
+                   PixelFormat.WP13: "WP13", PixelFormat.W13A: "W13A",
+                   PixelFormat.BGRA: "BGRA", PixelFormat.BGRa: "BGRa",
+                   PixelFormat.RG24: "RG24"}
+    #: Bayer RAW sources (DemosaicRAW chain / GenerateBYR2)
+    _BAYER_FOURCC = {PixelFormat.RG48: "RG48", PixelFormat.B64A: "b64a",
+                     PixelFormat.YUY2: "YUY2", PixelFormat.UYVY: "2vuy",
+                     PixelFormat.BYR4: "BYR4", PixelFormat.BYR2: "BYR2",
+                     PixelFormat.WP13: "WP13", PixelFormat.W13A: "W13A"}
+    #: YUV 4:2:2 intra sources, every supported output
+    _YUV_FOURCC = {PixelFormat.UYVY: "2vuy", PixelFormat.YU64: "YU64",
+                   PixelFormat.V210: "v210", PixelFormat.RG48: "RG48",
+                   PixelFormat.BGRA: "BGRA", PixelFormat.B64A: "b64a",
+                   PixelFormat.NV12: "NV12", PixelFormat.R210: "r210",
+                   PixelFormat.DPX0: "DPX0", PixelFormat.RG30: "RG30",
+                   PixelFormat.YUYV: "yuyv", PixelFormat.BGRa: "BGRa",
+                   PixelFormat.RG24: "RG24", PixelFormat.R408: "R408",
+                   PixelFormat.V408: "V408", PixelFormat.WP13: "WP13",
+                   PixelFormat.W13A: "W13A"}
+    #: output row pitch in bytes as a function of width
+    _ROW_BYTES = {
+        PixelFormat.YUY2: lambda w: 2 * w,
+        PixelFormat.UYVY: lambda w: 2 * w,
+        PixelFormat.YU64: lambda w: 4 * w,
+        PixelFormat.V210: lambda w: ((w + 47) // 48) * 128,
+        PixelFormat.RG48: lambda w: 6 * w,
+        PixelFormat.BGRA: lambda w: 4 * w,
+        PixelFormat.B64A: lambda w: 8 * w,
+        PixelFormat.NV12: lambda w: 3 * w // 2,
+        PixelFormat.R210: lambda w: 4 * w,
+        PixelFormat.DPX0: lambda w: 4 * w,
+        PixelFormat.RG30: lambda w: 4 * w,
+        PixelFormat.BYR4: lambda w: 2 * w,
+        PixelFormat.BYR2: lambda w: 2 * w,
+        PixelFormat.YUYV: lambda w: 2 * w,
+        PixelFormat.BGRa: lambda w: 4 * w,
+        PixelFormat.RG24: lambda w: 3 * w,
+        PixelFormat.R408: lambda w: 4 * w,
+        PixelFormat.V408: lambda w: 4 * w,
+        PixelFormat.WP13: lambda w: 6 * w,
+        PixelFormat.W13A: lambda w: 8 * w,
+    }
+
+    def _gop_fourcc(self, what: str) -> str:
+        fourcc = self._GOP_FOURCC.get(self.output_format)
+        if fourcc is None:
+            raise CFHDError(ErrorCode.BADFORMAT,
+                            f"{what} decode to {self.output_format!r}")
+        return fourcc
+
+    @staticmethod
+    def _to_uyvy(out: bytes) -> bytes:
+        a = np.frombuffer(out, np.uint8).reshape(-1, 4)
+        return np.ascontiguousarray(a[:, [1, 0, 3, 2]]).tobytes()
+
+    # --- per-sample-kind decode handlers -------------------------------------
+
+    def _route_stereo(self, sample: bytes):
+        """Stereo pre-route: returns (sample-to-decode, composite-or-None).
+        For dual-channel samples selects the active eye, or composites
+        both per the blend mode (`Codec/decoder.c:10086-10104` stereo
+        channel logic + `Do3DWork` `Codec/bayer.c:10761`).  Parse errors
+        fall through to the main dispatch (which reports them properly)."""
         from cineform_tpu.models import intra_host
 
-        if not self._prepared:
-            raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
-        info0 = None
         try:
             from cineform_tpu.bitstream import parse_sample
             info0 = parse_sample(sample)
@@ -620,214 +689,181 @@ class Decoder:
                     r, _ = intra_host.decode_sample(eyes[1], frame_index=1)
                     out, fmt = stereo.blend_eyes(l, r, info0.width,
                                                  info0.height, blend)
-                    want = "BGRA" if self.output_format == PixelFormat.BGRA                         else "YUY2"
+                    want = ("BGRA" if self.output_format == PixelFormat.BGRA
+                            else "YUY2")
                     if fmt != want:
                         raise CFHDError(
                             ErrorCode.BADFORMAT,
                             f"blend mode {blend} produces {fmt}; prepare "
                             f"with that output format")
-                    return np.frombuffer(out, np.uint8)
+                    return sample, np.frombuffer(out, np.uint8)
                 sample = eyes[1] if mask == 2 and len(eyes) > 1 else eyes[0]
+            return sample, None
         except CFHDError:
             raise
         except Exception:
-            pass
+            return sample, None
+
+    def _decode_frame_sample(self, sample: bytes):
+        """24-byte SAMPLE_TYPE_FRAME sample: emit the TRUE second frame of
+        the group this decoder holds (`DecodeSampleFrame` ->
+        ReconstructSampleFrameToBuffer(frame_index=1),
+        decoder.c:11482/11546) -- byte-exact vs the reference stream
+        decode incl. the second dither window.  Returns (held, out)."""
+        from cineform_tpu.bitstream import parse_sample
+        from cineform_tpu.models import gop_host
+
+        held = getattr(self, "_held_group", None)
+        if held is None:
+            raise CFHDError(ErrorCode.BADSAMPLE,
+                            "FRAME sample without a decoded group")
+        if (self.width, self.height) != \
+                (parse_sample(held).width, parse_sample(held).height):
+            out = self._decode_to_size(held, self.width, self.height, frame=1)
+        elif self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY):
+            # the rand() dither stream persists across samples in one
+            # decoder instance: this frame takes the NEXT window after
+            # everything already emitted
+            base = getattr(self, "_gop_dither_count", 1) - 1
+            self._gop_dither_count = base + 2
+            out = gop_host.decode_group(held, reference_compatible=False,
+                                        dither_base=base)[1]
+            if self.output_format == PixelFormat.UYVY:
+                out = self._to_uyvy(out)
+        else:
+            out = gop_host.decode_group_to(
+                held, self._gop_fourcc("FRAME sample"), frame=1)
+        return held, out
+
+    def _decode_group(self, sample: bytes, info0):
+        """GROUP (2-frame GOP) sample: decode frame 1 and hold the group
+        for a following SAMPLE_TYPE_FRAME sample; consecutive calls on the
+        same group return frame 1 then frame 1-with-advanced-dither, like
+        the reference decoder's repeated-call behavior."""
+        import hashlib
+
+        from cineform_tpu.models import gop_host
+
+        self._held_group = sample
+        if self.resolution != DecodedResolution.FULL:
+            raise CFHDError(ErrorCode.BADFORMAT,
+                            "scaled GOP decode is not supported")
+        if info0 is not None and (self.width, self.height) != \
+                (info0.width, info0.height):
+            # arbitrary-size GOP decode: Lanczos-scale each frame,
+            # alternating frame 1/2 like the unscaled GOP path
+            key = hashlib.sha256(sample).digest()
+            cache = getattr(self, "_gop_scale_cache", None)
+            idx = cache[1] if cache is not None and cache[0] == key else 0
+            self._gop_scale_cache = (key, 1 - idx)
+            return self._decode_to_size(sample, self.width, self.height,
+                                        frame=idx)
+        if self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY):
+            # every group decode emits frame 1 with the NEXT rand() dither
+            # window: repeated calls on the same group therefore return
+            # frame 1 then frame 1 with advanced dither, exactly like the
+            # reference binary
+            base = getattr(self, "_gop_dither_count", 0)
+            self._gop_dither_count = base + 1
+            out = gop_host.decode_group(sample, dither_base=base)[0]
+            if self.output_format == PixelFormat.UYVY:
+                out = self._to_uyvy(out)
+            return out
+        return gop_host.decode_group_to(sample, self._gop_fourcc("GOP"))
+
+    def _decode_rgb_source(self, sample: bytes):
+        """RGB 4:4:4 / RGBA 4:4:4:4 sources: byte-exact Row16u
+        reconstruction with the per-writer saturation semantics and the
+        alpha decompand (intra_host.decode_sample_rgb)."""
+        from cineform_tpu.models import intra_host
+
+        fourcc = self._RGB_FOURCC.get(self.output_format)
+        if fourcc is None:
+            raise CFHDError(
+                ErrorCode.BADFORMAT,
+                f"RGB-source decode to {self.output_format!r} "
+                f"(RG48/b64a/WP13/W13A/BGRA/BGRa/RG24 outputs)")
+        out, _ = intra_host.decode_sample_rgb(sample, fourcc)
+        return out
+
+    def _decode_bayer_source(self, sample: bytes):
+        """Full-mosaic-resolution RAW decode (byte-exact DemosaicRAW chain
+        / GenerateBYR2, `Codec/bayer.c:9339/13237`); the sample header
+        reports mosaic-half channel dims."""
+        from cineform_tpu.models import intra_host
+
+        fourcc = self._BAYER_FOURCC.get(self.output_format)
+        if fourcc is None:
+            raise CFHDError(
+                ErrorCode.BADFORMAT,
+                f"Bayer decode to {self.output_format!r} (RG48, b64a, "
+                f"YUY2, 2vuy, BYR4, BYR2, WP13, W13A)")
+        return intra_host.decode_sample_bayer_to(sample, fourcc)
+
+    def _decode_yuv_source(self, sample: bytes, info0):
+        """YUV 4:2:2 intra sample at coded size: the device path for
+        YUY2/UYVY when available, else the host path per output format."""
+        from cineform_tpu.models import intra_host
+
+        if self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY):
+            dev_out = self._decode_device(sample, info0)
+            if dev_out is not None:
+                return dev_out
+        if self.output_format == PixelFormat.YUY2:
+            out, _ = intra_host.decode_sample(sample)
+            return out
+        return intra_host.decode_sample_to(
+            sample, self._YUV_FOURCC[self.output_format])
+
+    # CFHD_DecodeSample
+    def decode_sample(self, sample: bytes) -> np.ndarray:
+        from cineform_tpu.models import intra_host
+
+        if not self._prepared:
+            raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
+        sample, composite = self._route_stereo(sample)
+        if composite is not None:
+            return composite
         try:
             from cineform_tpu.bitstream import parse_sample
+            try:
+                info0 = parse_sample(sample)
+            except Exception:
+                info0 = None
             if len(sample) >= 4 and sample[:4] == b"\x00\x01\x00\x07":
                 # video sequence header: ignored by the decoder, no frame
                 # (`DecodeSample` SAMPLE_TYPE_SEQUENCE_HEADER,
                 # decoder.c:11023-11026)
                 return None
+            warp_sample = sample
             if len(sample) >= 4 and sample[:4] == b"\x00\x01\x00\x01":
-                # 24-byte SAMPLE_TYPE_FRAME sample: emit the TRUE second
-                # frame of the group this decoder holds (`DecodeSampleFrame`
-                # -> ReconstructSampleFrameToBuffer(frame_index=1),
-                # decoder.c:11482/11546) — byte-exact vs the reference
-                # stream decode incl. the second dither window
-                from cineform_tpu.models import gop_host
-                held = getattr(self, "_held_group", None)
-                if held is None:
-                    raise CFHDError(ErrorCode.BADSAMPLE,
-                                    "FRAME sample without a decoded group")
-                if (self.width, self.height) != \
-                        (parse_sample(held).width, parse_sample(held).height):
-                    out = self._decode_to_size(held, self.width,
-                                               self.height, frame=1)
-                elif self.output_format in (PixelFormat.YUY2,
-                                            PixelFormat.UYVY):
-                    # the rand() dither stream persists across samples in
-                    # one decoder instance: this frame takes the NEXT
-                    # window after everything already emitted
-                    base = getattr(self, "_gop_dither_count", 1) - 1
-                    self._gop_dither_count = base + 2
-                    out = gop_host.decode_group(
-                        held, reference_compatible=False,
-                        dither_base=base)[1]
-                    if self.output_format == PixelFormat.UYVY:
-                        a = np.frombuffer(out, np.uint8).reshape(-1, 4)
-                        out = np.ascontiguousarray(
-                            a[:, [1, 0, 3, 2]]).tobytes()
-                else:
-                    fourcc = {PixelFormat.YU64: "YU64",
-                              PixelFormat.V210: "v210",
-                              PixelFormat.RG48: "RG48",
-                              PixelFormat.BGRA: "BGRA",
-                              PixelFormat.B64A: "b64a",
-                              PixelFormat.R210: "r210",
-                              PixelFormat.DPX0: "DPX0",
-                              PixelFormat.RG30: "RG30"}.get(
-                                  self.output_format)
-                    if fourcc is None:
-                        raise CFHDError(
-                            ErrorCode.BADFORMAT,
-                            f"FRAME sample decode to {self.output_format!r}")
-                    out = gop_host.decode_group_to(held, fourcc, frame=1)
-                out = self._maybe_warp(held, out)
+                warp_sample, out = self._decode_frame_sample(sample)
+                # FRAME samples carry no pixel data; the held group's
+                # pitch and warp metadata apply
+                out = self._maybe_warp(warp_sample, out)
                 row_bytes = len(out) // self.height
                 return np.frombuffer(out, dtype=np.uint8).reshape(
                     self.height, row_bytes)
-            if parse_sample(sample).sample_type == 2:   # GROUP (2-frame GOP)
-                # hold the group for a following SAMPLE_TYPE_FRAME sample;
-                # consecutive DecodeSample calls on the same group return
-                # frame 1 then frame 1-with-advanced-dither, like the
-                # reference decoder's repeated-call behavior
-                self._held_group = sample
-                import hashlib
-
-                from cineform_tpu.models import gop_host
-                if self.resolution != DecodedResolution.FULL:
-                    raise CFHDError(ErrorCode.BADFORMAT,
-                                    "scaled GOP decode is not supported")
-                if info0 is not None and (self.width, self.height) != \
-                        (info0.width, info0.height):
-                    # arbitrary-size GOP decode: Lanczos-scale each frame,
-                    # alternating frame 1/2 like the unscaled GOP path
-                    key = hashlib.sha256(sample).digest()
-                    cache = getattr(self, "_gop_scale_cache", None)
-                    idx = cache[1] if cache is not None and \
-                        cache[0] == key else 0
-                    self._gop_scale_cache = (key, 1 - idx)
-                    out = self._decode_to_size(sample, self.width,
-                                               self.height, frame=idx)
-                elif self.output_format in (PixelFormat.YUY2,
-                                            PixelFormat.UYVY):
-                    # every group decode emits frame 1 with the NEXT
-                    # rand() dither window: repeated calls on the same
-                    # group therefore return frame 1 then frame 1 with
-                    # advanced dither, exactly like the reference binary
-                    base = getattr(self, "_gop_dither_count", 0)
-                    self._gop_dither_count = base + 1
-                    out = gop_host.decode_group(sample,
-                                                dither_base=base)[0]
-                    if self.output_format == PixelFormat.UYVY:
-                        a = np.frombuffer(out, np.uint8).reshape(-1, 4)
-                        out = np.ascontiguousarray(
-                            a[:, [1, 0, 3, 2]]).tobytes()
-                else:
-                    fourcc = {PixelFormat.YU64: "YU64",
-                              PixelFormat.V210: "v210",
-                              PixelFormat.RG48: "RG48",
-                              PixelFormat.BGRA: "BGRA",
-                              PixelFormat.B64A: "b64a",
-                              PixelFormat.R210: "r210",
-                              PixelFormat.DPX0: "DPX0",
-                              PixelFormat.RG30: "RG30"}.get(
-                                  self.output_format)
-                    if fourcc is None:
-                        raise CFHDError(
-                            ErrorCode.BADFORMAT,
-                            f"GOP decode to {self.output_format!r}")
-                    out = gop_host.decode_group_to(sample, fourcc)
+            if parse_sample(sample).sample_type == 2:
+                out = self._decode_group(sample, info0)
             elif self.resolution != DecodedResolution.FULL:
                 out = intra_host.decode_sample_scaled(
                     sample, int(self.resolution))
             elif info0 is not None and \
                     getattr(info0, "encoded_format", 0) in (3, 4):
-                # RGB 4:4:4 / RGBA 4:4:4:4 sources: byte-exact Row16u
-                # reconstruction with the per-writer saturation semantics
-                # and the alpha decompand (intra_host.decode_sample_rgb)
-                fourcc = {PixelFormat.RG48: "RG48",
-                          PixelFormat.B64A: "b64a",
-                          PixelFormat.WP13: "WP13",
-                          PixelFormat.W13A: "W13A",
-                          PixelFormat.BGRA: "BGRA",
-                          PixelFormat.BGRa: "BGRa",
-                          PixelFormat.RG24: "RG24"}.get(self.output_format)
-                if fourcc is None:
-                    raise CFHDError(
-                        ErrorCode.BADFORMAT,
-                        f"RGB-source decode to {self.output_format!r} "
-                        f"(RG48/b64a/WP13/W13A/BGRA/BGRa/RG24 outputs)")
-                out, _ = intra_host.decode_sample_rgb(sample, fourcc)
+                out = self._decode_rgb_source(sample)
             elif info0 is not None and \
-                    getattr(info0, "encoded_format", 0) == 2:  # BAYER
-                # full-mosaic-resolution RAW decode (byte-exact DemosaicRAW
-                # chain / GenerateBYR2, `Codec/bayer.c:9339/13237`); the
-                # sample header reports mosaic-half channel dims
-                fourcc = {PixelFormat.RG48: "RG48",
-                          PixelFormat.B64A: "b64a",
-                          PixelFormat.YUY2: "YUY2",
-                          PixelFormat.UYVY: "2vuy",
-                          PixelFormat.BYR4: "BYR4",
-                          PixelFormat.BYR2: "BYR2",
-                          PixelFormat.WP13: "WP13",
-                          PixelFormat.W13A: "W13A"}.get(self.output_format)
-                if fourcc is None:
-                    raise CFHDError(
-                        ErrorCode.BADFORMAT,
-                        f"Bayer decode to {self.output_format!r} (RG48, "
-                        f"b64a, YUY2, 2vuy, BYR4, BYR2, WP13, W13A)")
-                out = intra_host.decode_sample_bayer_to(sample, fourcc)
+                    getattr(info0, "encoded_format", 0) == 2:
+                out = self._decode_bayer_source(sample)
             elif info0 is not None and (self.width, self.height) != \
                     (info0.width, info0.height):
                 # decoded size != requested size: scale with the Lanczos
                 # scaler like the reference's ConvertLib path
                 # (`DecoderSDK/SampleDecoder.cpp:1669-1725`)
                 out = self._decode_to_size(sample, self.width, self.height)
-            elif self.output_format in (PixelFormat.YUY2, PixelFormat.UYVY) \
-                    and (dev_out := self._decode_device(sample, info0)) \
-                    is not None:
-                out = dev_out
-            elif self.output_format == PixelFormat.YUY2:
-                out, _ = intra_host.decode_sample(sample)
             else:
-                fourcc = {PixelFormat.UYVY: "2vuy", PixelFormat.YU64: "YU64",
-                          PixelFormat.V210: "v210", PixelFormat.RG48: "RG48",
-                          PixelFormat.BGRA: "BGRA",
-                          PixelFormat.B64A: "b64a", PixelFormat.NV12: "NV12",
-                          PixelFormat.R210: "r210", PixelFormat.DPX0: "DPX0",
-                          PixelFormat.RG30: "RG30",
-                          PixelFormat.YUYV: "yuyv",
-                          PixelFormat.BGRa: "BGRa",
-                          PixelFormat.RG24: "RG24",
-                          PixelFormat.R408: "R408",
-                          PixelFormat.V408: "V408",
-                          PixelFormat.WP13: "WP13",
-                          PixelFormat.W13A: "W13A"}[self.output_format]
-                out = intra_host.decode_sample_to(sample, fourcc)
-            row_bytes = {
-                PixelFormat.YUY2: 2 * self.width,
-                PixelFormat.UYVY: 2 * self.width,
-                PixelFormat.YU64: 4 * self.width,
-                PixelFormat.V210: ((self.width + 47) // 48) * 128,
-                PixelFormat.RG48: 6 * self.width,
-                PixelFormat.BGRA: 4 * self.width,
-                PixelFormat.B64A: 8 * self.width,
-                PixelFormat.NV12: 3 * self.width // 2,
-                PixelFormat.R210: 4 * self.width,
-                PixelFormat.DPX0: 4 * self.width,
-                PixelFormat.RG30: 4 * self.width,
-                PixelFormat.BYR4: 2 * self.width,
-                PixelFormat.BYR2: 2 * self.width,
-                PixelFormat.YUYV: 2 * self.width,
-                PixelFormat.BGRa: 4 * self.width,
-                PixelFormat.RG24: 3 * self.width,
-                PixelFormat.R408: 4 * self.width,
-                PixelFormat.V408: 4 * self.width,
-                PixelFormat.WP13: 6 * self.width,
-                PixelFormat.W13A: 8 * self.width,
-            }[self.output_format]
+                out = self._decode_yuv_source(sample, info0)
+            row_bytes = self._ROW_BYTES[self.output_format](self.width)
             if len(out) != self.height * row_bytes:
                 raise CFHDError(
                     ErrorCode.BADSAMPLE,
@@ -840,6 +876,7 @@ class Decoder:
             raise
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
+
 
     def _maybe_warp(self, sample: bytes, out: bytes) -> bytes:
         """Lens-correction stage: when the sample's metadata requests a

@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Precompile every device program bench.py needs into the persistent
+compilation cache (.jaxcache), one program at a time with progress logs.
+
+The tunnel's remote AOT compiler is extremely slow (a tiny 256x128 encode
+program took 498s); round 4's bench timed out inside the first 1080p
+decode class-program compile.  Compiles are cached per-machine keyed on
+the HLO module, so warming the cache here makes the driver's bench run
+skip every compile.  This replicates bench.py's exact shapes and call
+graph: encode (forward_packed_staged), transform roundtrip, and the
+decode class programs + inverse via _decode_device_program on row
+tensors built from real device-encoded samples (identical S buckets).
+
+Usage: python tools/precompile_bench.py [--quick]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np  # noqa: E402
+
+T0 = time.monotonic()
+
+
+def log(msg: str) -> None:
+    print(f"[precompile +{time.monotonic() - T0:8.1f}s] {msg}", flush=True)
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    w, h, quality = (256, 128, 4) if quick else (1920, 1080, 4)
+    batch = 8
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "..", ".jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    log(f"devices: {jax.devices()}")
+
+    from cineform_tpu.models.intra import IntraCodec
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    base = np.frombuffer(yuy2_frame(w, h, 1), dtype=np.uint8).reshape(h, 2 * w)
+    frames = np.stack([np.roll(base, i, axis=0) for i in range(batch)])
+    codec = IntraCodec(width=w, height=h, quality=quality)
+    dev_frames = jax.device_put(jnp.asarray(frames))
+
+    # --- bench encode path (same staged programs) ---------------------------
+    @jax.jit
+    def _salt_frames(fr, salt):
+        return fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
+
+    @jax.jit
+    def _encode_reduce(lows, nbits_list):
+        s = jnp.int32(0)
+        for lowpass in lows:
+            s = s + lowpass[:, 0, 0].astype(jnp.int32).sum()
+        for nbits in nbits_list:
+            s = s + nbits[:, 0].astype(jnp.int32).sum()
+        return s
+
+    t = time.monotonic()
+    fr = _salt_frames(dev_frames, jnp.int32(0))
+    out = codec.forward_packed_staged(fr)
+    lows = tuple(lowpass for lowpass, _ in out)
+    nbs = tuple(nbits for _, packed in out for _, nbits, _ in packed)
+    float(_encode_reduce(lows, nbs))
+    log(f"encode path warm in {time.monotonic() - t:.1f}s")
+
+    # --- transform roundtrip + mse (bench stage 2) ---------------------------
+    @jax.jit
+    def roundtrip_step(fr, salt):
+        fr = fr.at[0, 0, 0].set(salt.astype(jnp.uint8))
+        o = codec.inverse(codec.dequantize(codec.forward(fr)))
+        return o[0, 0, 0].astype(jnp.int32)
+
+    @jax.jit
+    def roundtrip_mse(fr):
+        o = codec.inverse(codec.dequantize(codec.forward(fr)))
+        err = (o.astype(jnp.float32) - fr.astype(jnp.float32)) ** 2
+        return jnp.mean(err)
+
+    t = time.monotonic()
+    float(roundtrip_mse(dev_frames))
+    float(roundtrip_step(dev_frames, jnp.int32(0)))
+    log(f"transform roundtrip warm in {time.monotonic() - t:.1f}s")
+
+    # --- ratios stage programs ----------------------------------------------
+    @jax.jit
+    def _stats_reduce(nbs, ovfs):
+        bits = jnp.stack([b.sum() for b in nbs])
+        novf = sum(o.astype(jnp.int32).sum() for o in ovfs)
+        return bits, novf
+
+    def stats_fn(f):
+        o = codec.forward_packed_staged(f)
+        nb = tuple(p[1] for _, packed in o for p in packed)
+        ov = tuple(p[2] for _, packed in o for p in packed)
+        return _stats_reduce(nb, ov)
+
+    t = time.monotonic()
+    bits, novf = stats_fn(dev_frames)
+    jax.block_until_ready(bits)
+    smooth_base = np.frombuffer(yuy2_frame(w, h, 0),
+                                dtype=np.uint8).reshape(h, 2 * w)
+    smooth = jax.device_put(jnp.asarray(np.stack(
+        [np.roll(smooth_base, i, axis=0) for i in range(batch)])))
+    bits, novf = stats_fn(smooth)
+    jax.block_until_ready(bits)
+    float(roundtrip_mse(smooth))
+    log(f"ratio stage warm in {time.monotonic() - t:.1f}s")
+
+    # --- decode prep: identical to bench (same S buckets) --------------------
+    t = time.monotonic()
+    from cineform_tpu.models.intra_host import encode_sample as _henc
+    uniq = max(1, batch // 4)
+    samples = [_henc(np.ascontiguousarray(frames[i]).tobytes(), w, h,
+                     quality) for i in range(uniq)]
+    samples = (samples * ((batch + uniq - 1) // uniq))[:batch]
+    pays, nchs, qns, lins, lp, fb = codec._decode_rows_args(samples)
+    log(f"decode prep done in {time.monotonic() - t:.1f}s; fallback={fb}; "
+        f"S buckets={[p.shape[-1] // 4 for p in pays]}")
+    if fb:
+        log("WARNING: fallback frames present; bench would skip device decode")
+        return
+
+    # --- the six decode class programs, one at a time ------------------------
+    for ci in range(len(codec._DECODE_CLASSES)):
+        t = time.monotonic()
+        co, ovf = codec._decode_class_program(pays[ci], nchs[ci], qns[ci],
+                                              lins[ci], ci)
+        jax.block_until_ready(co)
+        k, planes = codec._DECODE_CLASSES[ci]
+        log(f"class {ci} (k={k} planes={planes} S={pays[ci].shape[-1]//4}) "
+            f"compiled+ran in {time.monotonic() - t:.1f}s "
+            f"ovf={np.asarray(ovf).any()}")
+
+    # --- the inverse + bench decode_step wrappers ----------------------------
+    @jax.jit
+    def _salt_lp(lp0, salt):
+        return lp0 + (salt & 1)
+
+    @jax.jit
+    def _decode_reduce(o):
+        return o[:, 0, 0].astype(jnp.int32).sum()
+
+    def decode_step(pays, nchs, qns, lins, lp, salt):
+        lp = (_salt_lp(lp[0], salt),) + tuple(lp[1:])
+        o, ovf = codec._decode_device_program(pays, nchs, qns, lins, lp,
+                                              batch, 0)
+        return _decode_reduce(o)
+
+    t = time.monotonic()
+    float(decode_step(pays, nchs, qns, lins, lp, jnp.int32(0)))
+    log(f"full decode step (incl. inverse) warm in {time.monotonic() - t:.1f}s")
+
+    # quick timing sanity (not the official number)
+    t = time.monotonic()
+    s = jnp.int32(0)
+    for _ in range(16):
+        s = decode_step(pays, nchs, qns, lins, lp, s)
+    float(s)
+    dt = (time.monotonic() - t) / (16 * batch) * 1000
+    log(f"decode ~{dt:.3f} ms/frame ({1000 / dt:.0f} fps) [tunnel-noisy]")
+    log("ALL BENCH PROGRAMS CACHED")
+
+
+if __name__ == "__main__":
+    main()
