@@ -530,6 +530,7 @@ class Decoder:
 
         try:
             s = parse_sample(sample)
+            encoded_format = EncodedFormat(max(0, s.encoded_format - 1))
         except Exception as exc:
             raise CFHDError(ErrorCode.BADSAMPLE, str(exc)) from exc
         # the reference doubles the reported dimensions for Bayer sources
@@ -539,7 +540,7 @@ class Decoder:
             width=s.width * mult, height=s.height * mult,
             display_height=(s.display_height or s.height) * mult,
             key_frame=(s.sample_type == tags.SAMPLE_TYPE_IFRAME),
-            encoded_format=EncodedFormat(max(0, s.encoded_format - 1)),
+            encoded_format=encoded_format,
             quality=s.quality, frame_number=s.frame_number)
 
     # CFHD_PrepareToDecode
@@ -821,6 +822,14 @@ class Decoder:
 
         if not self._prepared:
             raise CFHDError(ErrorCode.UNEXPECTED, "not prepared")
+        if len(sample) % 4:
+            # the tag/value stream is a sequence of 32-bit pairs; a
+            # partial trailing pair is a bitstream error (the reference
+            # rejects such samples; whole trailing garbage words parse as
+            # unknown optional tags and are ignored — pinned by
+            # tools/diff_fuzz.py against the binary)
+            raise CFHDError(ErrorCode.BADSAMPLE,
+                            f"sample size {len(sample)} not 32-bit aligned")
         sample, composite = self._route_stereo(sample)
         if composite is not None:
             return composite

@@ -31,6 +31,7 @@ class BandInfo:
     data_offset: int     # absolute byte offset of payload in the sample
     peak_level: int = 0  # PEAK_LEVEL (250 * quant) when peaks-coded
     peaks: np.ndarray | None = None   # int16 peak values (dequantized)
+    truncated: bool = False  # chunk size extends past the sample end
 
 
 @dataclass
@@ -71,6 +72,7 @@ class IntraSample:
     frame_number: int = 0
     prescale: list[int] = field(default_factory=lambda: [0] * 8)
     sample_flags: int = 0
+    end_marker: int | None = None   # value of the last top-level MARKER tag
     channel_sizes: list[int] = field(default_factory=list)
     channels: list[ChannelInfo] = field(default_factory=list)
     metadata: list[bytes] = field(default_factory=list)
@@ -146,6 +148,7 @@ def parse_sample(data: bytes) -> IntraSample:
                         peak_level=band.get("peak_level", 0),
                         data=payload,
                         data_offset=pos + 4,
+                        truncated=pos + size > n,
                     ))
                     band.clear()
                 pos += size
@@ -269,8 +272,10 @@ def parse_sample(data: bytes) -> IntraSample:
             s.encoded_channels = value
         elif at == tags.ENCODED_CHANNEL_NUMBER:
             s.channel_number = value
+        elif at == tags.MARKER:
+            s.end_marker = value
         elif at == tags.FRAME_TRAILER:
             break
-        # MARKER, margins, borders, divisors, trailers: no state needed
+        # margins, borders, divisors, trailers: no state needed
 
     return s

@@ -529,6 +529,128 @@ def encode_sample_bayer(frame: bytes, width: int, height: int, quality: int,
                         colorspace=None)
 
 
+class BadSampleError(ValueError):
+    """Raised when a sample fails a validation the reference decoder
+    enforces (it returns CFHD_ERROR_CODEC_ERROR); api.Decoder wraps this
+    into CFHDError(BADSAMPLE)."""
+
+
+#: intra subband -> wavelet index (`Codec/decoder.c:11596`); subbands
+#: 10..16 are legal tag values (CODEC_MAX_SUBBANDS) that route past the
+#: intra map — the reference decodes them into an out-of-map wavelet that
+#: reconstruction never reads, so their content is dropped.
+_INTRA_SUBBAND_WAVELET = {**{sb: 2 for sb in (1, 2, 3)},
+                          **{sb: 1 for sb in (4, 5, 6)},
+                          **{sb: 0 for sb in (7, 8, 9)},
+                          **{sb: None for sb in range(10, 17)}}
+
+
+def intra_channels(s):
+    """Channels in stream order, validated like the reference: a channel
+    header whose number breaks the 0,1,2,... sequence is a bad frame
+    (`DecodeSampleChannelHeader`, `Codec/decoder.c:11894`)."""
+    if not s.channels:
+        raise BadSampleError("no channels")
+    for i, c in enumerate(s.channels):
+        if c.channel != i:
+            raise BadSampleError(f"channel header {c.channel} != {i}")
+    if s.end_marker is not None and s.end_marker >> 8 != 0x0C:
+        # the frame-end MARKER's high value byte is validated by the
+        # reference (low byte is not -- pinned by tools/diff_fuzz.py)
+        raise BadSampleError(f"frame end marker {s.end_marker:#06x}")
+    return s.channels
+
+
+def collect_wavelet_bands(c, *, codeset: int = 17):
+    """ERROR_TOLERANT band collection for one intra channel, pinned
+    against the reference binary's accept/reject behavior on corrupted
+    headers (tools/diff_fuzz.py; `Codec/decoder.c:11920`
+    DecodeSampleSubband + the FSM loop `decoder.c:19532`):
+
+    - NUM_LEVELS must be 3 (the intra pyramid depth) -> else reject
+    - lowpass QUANTIZATION as int16 must be >= 1 -> else reject
+    - BAND_SUBBAND outside [1, 16] -> reject (CODEC_MAX_SUBBANDS);
+      subbands 10..16 decode-then-drop (out-of-map wavelet)
+    - BAND_NUMBER must be 0..3 (a wavelet band slot); slot 0 overwrites
+      the lowpass content loaded from the LOWPASS_SUBBAND chunk
+    - band dims must match the target wavelet's pyramid dims (a resize
+      makes the reference's reconstruction fail) -> else reject
+    - BAND_ENCODING must be run-lengths (3) -> else reject
+    - BAND_QUANTIZATION as int16 must be >= 1 -> else reject
+    - missing bands stay zero (fresh wavelets are zero-filled); a
+      duplicate band overwrites the earlier one
+
+    Returns (lowpass int32 (lh, lw), wb) where wb[k] = (lh, hl, hh) for
+    wavelet k = 0 (finest) .. 2 (coarsest).
+    """
+    from cineform_tpu.entropy import native as entropy_native
+
+    if c.lowpass is None:
+        raise BadSampleError(f"channel {c.channel}: no lowpass band")
+    if c.num_levels != 3:
+        raise BadSampleError(f"channel {c.channel}: NUM_LEVELS "
+                             f"{c.num_levels} != 3")
+    if not 1 <= ((c.lowpass_quant + 0x8000) % 0x10000) - 0x8000:
+        raise BadSampleError(f"lowpass quantization {c.lowpass_quant}")
+    if len(c.bands) < 9:
+        # a channel cut short mid-walk: the reference hits end-of-stream
+        # (or the next channel header) before its subband count is met
+        raise BadSampleError(
+            f"channel {c.channel}: {len(c.bands)} of 9 highpass bands")
+    lh, lw = c.lowpass.shape
+    expected = {2: (lh, lw), 1: (2 * lh, 2 * lw), 0: (4 * lh, 4 * lw)}
+    lowpass = c.lowpass
+    slots: list[list] = [[None] * 4 for _ in range(3)]
+    for b in c.bands:
+        if b.truncated:
+            # a band chunk that extends past the sample end: the
+            # reference's tag walk hits end-of-stream mid-band and
+            # errors (`GetSegment` BITSTREAM_ERROR, decoder.c:11627)
+            raise BadSampleError(f"subband {b.subband} band truncated")
+        if b.data[-4:] != b"\x00\x38\x00\x00":
+            # after the band-end codeword the reference scans for the
+            # (BAND_TRAILER, 0) pair and validates it exactly
+            # (`DecodeBandTrailer` IsTagValue, `Codec/codec.c:2614`)
+            raise BadSampleError(f"subband {b.subband} band trailer")
+        if not 1 <= b.subband <= 16:
+            raise BadSampleError(f"subband {b.subband} out of range")
+        if not 0 <= b.band <= 3:
+            raise BadSampleError(f"band number {b.band} out of range")
+        if b.encoding != 3:
+            raise BadSampleError(f"band encoding {b.encoding} != runlengths")
+        quant = ((b.quantization + 0x8000) % 0x10000) - 0x8000
+        if quant < 1:
+            raise BadSampleError(f"band quantization {b.quantization}")
+        widx = _INTRA_SUBBAND_WAVELET[b.subband]
+        if widx is None:
+            continue                      # out-of-map: decoded then dropped
+        if (b.height, b.width) != expected[widx]:
+            if (b.height, b.width) in expected.values():
+                # a rerouted subband number carrying another level's dims:
+                # the reference reallocs the target wavelet to these dims
+                # and the level's real bands realloc it back, wiping the
+                # content -- the band data is effectively dropped
+                continue
+            raise BadSampleError(
+                f"subband {b.subband} dims {b.width}x{b.height} != "
+                f"wavelet dims {expected[widx][1]}x{expected[widx][0]}")
+        pitchw = align16_pixels(b.width)
+        vals, _ = entropy_native.decode_band(
+            b.data, pitchw * b.height, codeset=codeset, quant=quant)
+        plane = vals.reshape(b.height, pitchw)[:, :b.width]
+        if widx == 2 and b.band == 0:
+            lowpass = plane.astype(np.int32)
+        else:
+            slots[widx][b.band] = plane
+    wb = []
+    for k in range(3):
+        eh, ew = expected[k]
+        wb.append(tuple(
+            slots[k][n] if slots[k][n] is not None
+            else np.zeros((eh, ew), np.int32) for n in (1, 2, 3)))
+    return lowpass, wb
+
+
 def decode_sample_bayer_row16u(sample: bytes) -> list[np.ndarray]:
     """Decode a Bayer sample's four channels (G, RG, BG, GD) to the
     reference's Row16u 16-bit planar rows at mosaic-half resolution
@@ -540,16 +662,9 @@ def decode_sample_bayer_row16u(sample: bytes) -> list[np.ndarray]:
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     planes = []
-    for c in s.channels:
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+    for c in intra_channels(s):
+        lowpass, wb = collect_wavelet_bands(c)
+        ll = xf.inverse_channel_to_16s(lowpass, wb, prescale)
         lh, hl, hh = wb[0]
         low = xf.v26_inverse(ll, hl)
         high = xf.v26_inverse(lh, hh)
@@ -654,19 +769,11 @@ def decode_sample_bayer(sample: bytes) -> tuple[np.ndarray, object]:
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     planes = []
-    for c in s.channels:
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        ll = c.lowpass
+    for c in intra_channels(s):
+        ll, wb = collect_wavelet_bands(c)
         for k in (2, 1):
-            ll = xf.dwt2d_inverse(ll, bands[k][1], bands[k][2], bands[k][3],
-                                  2 if prescale[k] == 2 else 1)
-        plane = xf.dwt2d_inverse(ll, bands[0][1], bands[0][2], bands[0][3], 1)
+            ll = xf.dwt2d_inverse(ll, *wb[k], 2 if prescale[k] == 2 else 1)
+        plane = xf.dwt2d_inverse(ll, *wb[0], 1)
         planes.append(plane)
     g = np.clip(planes[0], 0, 4095)
     r = np.clip(((planes[1] - 2048) << 1) + g, 0, 4095)
@@ -696,19 +803,12 @@ def decode_sample_rgb(sample: bytes,
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     planes = []
-    for c in s.channels:
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+    for c in intra_channels(s):
+        lowpass, wb = collect_wavelet_bands(c)
         # deep RGB at precision 12 takes no lowpass channel offset
         # (`decoder.c:12296-12302`); the Row16u chain reproduces the
         # scalar-tail SATURATE_16U (65535, not 65520) exactly
-        ll = xf.inverse_channel_to_16s(c.lowpass, wb, prescale)
+        ll = xf.inverse_channel_to_16s(lowpass, wb, prescale)
         lh, hl, hh = wb[0]
         low = xf.v26_inverse(ll, hl)
         high = xf.v26_inverse(lh, hh)
@@ -778,20 +878,13 @@ def decode_sample(sample: bytes, dither: bool = True,
     prescale = intra_prescale(s.precision)[:3]
     row_draws = None
     planes = []
-    for ci, c in enumerate(s.channels):
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
+    for ci, c in enumerate(intra_channels(s)):
+        lowpass, wb = collect_wavelet_bands(c)
         if dither and row_draws is None:
-            row_draws = xf.decode_dither_rows(c.lowpass.shape[0] * 8,
+            row_draws = xf.decode_dither_rows(lowpass.shape[0] * 8,
                                               frame_index)
-        off = lowpass_channel_offset(c.lowpass.shape[1])
-        lp = (c.lowpass + off).astype(c.lowpass.dtype) if off else c.lowpass
+        off = lowpass_channel_offset(lowpass.shape[1])
+        lp = (lowpass + off).astype(lowpass.dtype) if off else lowpass
         planes.append(xf.inverse_channel_to_8bit(
             lp, wb, prescale, dither=row_draws if dither else None,
             dither_group=16 if ci == 0 else 8))
@@ -868,17 +961,10 @@ def _decode_row16u_planes(sample: bytes, deep_yuv: bool) -> list[np.ndarray]:
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     planes = []
-    for c in s.channels:
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        off = lowpass_offset_absolute(c.lowpass.shape[1], deep_yuv)
-        lp = (c.lowpass + off).astype(c.lowpass.dtype)
+    for c in intra_channels(s):
+        lowpass, wb = collect_wavelet_bands(c)
+        off = lowpass_offset_absolute(lowpass.shape[1], deep_yuv)
+        lp = (lowpass + off).astype(lowpass.dtype)
         ll = xf.inverse_channel_to_16s(lp, wb, prescale)
         lh, hl, hh = wb[0]
         low = xf.v26_inverse(ll, hl)
@@ -1063,17 +1149,10 @@ def decode_sample_bgra(sample: bytes) -> bytes:
     s = parse_sample(sample)
     prescale = intra_prescale(s.precision)[:3]
     strips = []
-    for c in s.channels:
-        bands: list[dict] = [dict() for _ in range(3)]
-        for b in c.bands:
-            widx = 2 - (b.subband - 1) // 3
-            pitchw = align16_pixels(b.width)
-            vals, _ = entropy_native.decode_band(
-                b.data, pitchw * b.height, codeset=17, quant=b.quantization)
-            bands[widx][b.band] = vals.reshape(b.height, pitchw)[:, :b.width]
-        wb = [(bands[k][1], bands[k][2], bands[k][3]) for k in range(3)]
-        off = lowpass_offset_absolute(c.lowpass.shape[1], False, 1)
-        lp = (c.lowpass + off).astype(c.lowpass.dtype)
+    for c in intra_channels(s):
+        lowpass, wb = collect_wavelet_bands(c)
+        off = lowpass_offset_absolute(lowpass.shape[1], False, 1)
+        lp = (lowpass + off).astype(lowpass.dtype)
         ll = xf.inverse_channel_to_16s(lp, wb, prescale)
         lh, hl, hh = wb[0]
         strips.append((xf.v26_inverse(ll, hl), xf.v26_inverse(lh, hh)))

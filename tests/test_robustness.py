@@ -20,21 +20,27 @@ def _decode(sample):
 
 
 def test_truncated_samples():
+    """Truncated samples are REJECTED with CFHDError — never another
+    exception type, never a wrong-sized frame (the reference errors on
+    end-of-stream mid-walk; matched by the truncated-band and
+    band-count validations, models/intra_host.collect_wavelet_bands)."""
     w, h = 160, 120
     sample = intra_host.encode_sample(yuy2_frame(w, h, 1), w, h, 4)
     for frac in (0.1, 0.3, 0.6, 0.9, 0.99):
         cut = sample[:int(len(sample) * frac)]
-        try:
+        with pytest.raises(api.CFHDError):
             _decode(cut)
-        except (api.CFHDError, Exception):
-            pass  # clean failure is acceptable; crash/hang is not
 
 
 def test_bitflip_fuzz():
+    """Every bit-flipped sample either decodes to a correctly-shaped
+    frame or raises CFHDError — any other exception type is a
+    robustness bug (the differential accept/reject + byte-identity
+    contract vs the binary lives in tests/test_diff_fuzz.py)."""
     rng = np.random.default_rng(0)
     w, h = 160, 120
     sample = bytearray(intra_host.encode_sample(yuy2_frame(w, h, 1), w, h, 4))
-    survived = 0
+    survived = rejected = 0
     for trial in range(40):
         mutated = bytearray(sample)
         for _ in range(rng.integers(1, 8)):
@@ -44,10 +50,11 @@ def test_bitflip_fuzz():
             out = _decode(bytes(mutated))
             assert out.shape == (h, 2 * w)
             survived += 1
-        except Exception:
-            pass
+        except api.CFHDError:
+            rejected += 1
     # many corruptions land in entropy payloads and still decode something
     assert survived >= 1
+    assert survived + rejected == 40
 
 
 def test_garbage_input():
