@@ -58,7 +58,7 @@ overflow flags and fall back to the host coder.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -518,6 +518,59 @@ def decode_band_rows(payload: jnp.ndarray,
     ctgt, cval, nval, covf = emit_slots(packed, act, base, rb, re_, qn, lin)
     tgt, val = compact_rows(ctgt, cval, nval)
     coeffs = spread_rows(tgt, val, nout)
+    return coeffs, covf.any(axis=-1)
+
+
+# --- staged variant: one jitted program PER STAGE --------------------------
+# The fused decode_band_rows program compiles superlinearly in the payload
+# capacity S on the XLA TPU backend (the S=65536 1080p class program
+# SIGKILLs the AOT compiler), while each stage alone compiles in seconds
+# FLAT in S (tools/profile_decode_compile.py).  The staged chain keeps
+# intermediates in HBM between seven small programs — the same split that
+# fixed the encode side's compile blowup (models/intra.py
+# _encode_group_program).  Results are identical to decode_band_rows.
+
+_classify_j = jax.jit(classify, static_argnames=("codeset",))
+_chunk_transfers_j = jax.jit(chunk_transfers)
+_scan_entries_rows_j = jax.jit(scan_entries_rows)
+_final_walk_j = jax.jit(final_walk)
+_compact_rows_j = jax.jit(compact_rows)
+_spread_rows_j = jax.jit(spread_rows, static_argnames=("nout",))
+
+
+@partial(jax.jit, static_argnames=("nout",))
+def _emit_rows(packed, act, base, nchunks, quant, linear, nout: int):
+    """Mask activity to real chunks and emit slots (row layout)."""
+    *lead, s, _ = packed.shape
+    cidx = jnp.arange(s, dtype=jnp.int32)
+    act = act * (cidx < nchunks[..., None])[..., None].astype(jnp.uint32)
+    shape = (*lead, s)
+    rb = jnp.zeros(shape, jnp.int32)
+    re_ = jnp.full(shape, nout, jnp.int32)
+    qn = jnp.broadcast_to(quant[..., None], shape)
+    lin = jnp.broadcast_to(linear[..., None], shape)
+    return emit_slots(packed, act, base, rb, re_, qn, lin)
+
+
+def decode_band_rows_staged(payload: jnp.ndarray,
+                            nchunks: jnp.ndarray,
+                            quant: jnp.ndarray,
+                            linear: jnp.ndarray,
+                            nout: int):
+    """decode_band_rows as a chain of per-stage jitted programs.
+
+    Identical results; compiles where the fused program cannot (large S).
+    Dispatch is async so the stages run back-to-back on the chip."""
+    *lead, nb = payload.shape
+    s = nb // 4
+    packed = _classify_j(payload).reshape(*lead, s, 32)
+    exits, endm, cnt = _chunk_transfers_j(packed)
+    entry, base = _scan_entries_rows_j(exits, endm, cnt)
+    act = _final_walk_j(packed, entry)
+    ctgt, cval, nval, covf = _emit_rows(packed, act, base, nchunks,
+                                        quant, linear, nout)
+    tgt, val = _compact_rows_j(ctgt, cval, nval)
+    coeffs = _spread_rows_j(tgt, val, nout=nout)
     return coeffs, covf.any(axis=-1)
 
 

@@ -189,19 +189,29 @@ class GopCodec:
         return (tuple(pays), tuple(nchs), tuple(qns), tuple(lins),
                 tuple(lp), fallback)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _class_reshape(self, co, ovf, ci: int, batch: int):
+        lvl, planes = self._DECODE_CLASSES[ci]
+        entries = self._LEVEL_ENTRIES[lvl]
+        bh, bw, pitch = self._class_dims(lvl, planes)
+        co = co.reshape(batch, len(planes), len(entries), bh, pitch)[..., :bw]
+        return co, ovf.reshape(batch, -1).any(axis=1)
+
     def _decode_class_program(self, pay, nch, qn, lin, ci: int):
         """One GOP band row class -> ((B, planes, E, bh, bw) i32, (B,)
-        overflow flags) via the device band entropy decoder."""
+        overflow flags) via the device band entropy decoder.  Staged
+        per-stage programs, like IntraCodec._decode_class_program (the
+        fused formulation SIGKILLed the remote AOT compiler at 1080p
+        payload capacities)."""
         from cineform_tpu.entropy import device_decode as ddec
 
         lvl, planes = self._DECODE_CLASSES[ci]
         entries = self._LEVEL_ENTRIES[lvl]
         bh, bw, pitch = self._class_dims(lvl, planes)
-        co, ovf = ddec.decode_band_rows(pay, nch, qn, lin, nout=bh * pitch)
+        co, ovf = ddec.decode_band_rows_staged(pay, nch, qn, lin,
+                                               nout=bh * pitch)
         batch = pay.shape[0] // (len(planes) * len(entries))
-        co = co.reshape(batch, len(planes), len(entries), bh, pitch)[..., :bw]
-        return co, ovf.reshape(batch, -1).any(axis=1)
+        return self._class_reshape(co, ovf, ci, batch)
 
     def _decode_device_program(self, pay, nch, qn, lin, lowpass,
                                batch: int, dither_base: int,

@@ -485,19 +485,31 @@ class IntraCodec:
         bw = plane_w >> (k + 1)
         return bh, bw, intra_host.align16_pixels(bw)
 
-    @partial(jax.jit, static_argnums=(0, 5))
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _class_reshape(self, co, ovf, ci: int, batch: int):
+        k, planes = self._DECODE_CLASSES[ci]
+        bh, bw, pitch = self._class_dims(k, planes)
+        co = co.reshape(batch, len(planes), 3, bh, pitch)[..., :bw]
+        return co, ovf.reshape(batch, -1).any(axis=1)
+
     def _decode_class_program(self, pay, nch, qn, lin, ci: int):
         """One band row class (pay (R, S*4) u8, rows (frame, channel,
         band)) -> ((B, planes, 3, bh, bw) i32 coefficients, (B,) overflow
-        flags).  The TPU DecodeBandFSM16sNoGap (entropy/device_decode)."""
+        flags).  The TPU DecodeBandFSM16sNoGap (entropy/device_decode).
+
+        Runs as a chain of per-stage jitted programs with HBM
+        intermediates (decode_band_rows_staged): the fused one-program
+        formulation compiled superlinearly in the payload capacity and
+        SIGKILLed the remote AOT compiler at 1080p noise-content sizes
+        (S=65536); each stage compiles in seconds, flat in S."""
         from cineform_tpu.entropy import device_decode as ddec
 
         k, planes = self._DECODE_CLASSES[ci]
         bh, bw, pitch = self._class_dims(k, planes)
-        co, ovf = ddec.decode_band_rows(pay, nch, qn, lin, nout=bh * pitch)
+        co, ovf = ddec.decode_band_rows_staged(pay, nch, qn, lin,
+                                               nout=bh * pitch)
         batch = pay.shape[0] // (len(planes) * 3)
-        co = co.reshape(batch, len(planes), 3, bh, pitch)[..., :bw]
-        return co, ovf.reshape(batch, -1).any(axis=1)
+        return self._class_reshape(co, ovf, ci, batch)
 
     def _decode_device_program(self, pay, nch, qn, lin, lowpass,
                                batch: int, frame_index: int,
