@@ -270,6 +270,70 @@ class IntraCodec:
                                      p.precision)
         return out[..., ::-1, :, :]
 
+    def _row16u_planes(self, coeffs):
+        """Per-channel Row16u reconstruction (deep paths take no lowpass
+        offset, `decoder.c:12296-12319`): the device twin of
+        intra_host._decode_row16u_planes' pyramid."""
+        p = self.params
+        planes = []
+        for lowpass, bands in coeffs:
+            low, high = ops.inverse_channel_strips(lowpass, bands,
+                                                   p.prescale)
+            planes.append(ops.h26_inverse_to_row16u(low, high, p.precision))
+        return planes
+
+    @partial(jax.jit, static_argnums=0)
+    def inverse_rg48(self, coeffs):
+        """RGB 4:4:4 coeffs (channels g, r, b) -> (B, H, 3W) uint16 RG48
+        rows — the device port of intra_host.decode_sample_rgb('RG48')."""
+        g, r, b = self._row16u_planes(coeffs)[:3]
+        return jnp.stack([r, g, b], axis=-1).astype(jnp.uint16).reshape(
+            *g.shape[:-1], -1)
+
+    @partial(jax.jit, static_argnums=0)
+    def inverse_b64a(self, coeffs):
+        """RGBA 4:4:4:4 coeffs (g, r, b, a) -> (B, H, 4W) uint16 ARGB
+        (b64a) rows with the decompanded alpha
+        (intra_host.decode_sample_rgb('b64a'), 4-plane branch)."""
+        planes = self._row16u_planes(coeffs)
+        g, r, b = planes[0], planes[1], planes[2]
+        if len(planes) == 4:
+            a = jnp.clip((jnp.maximum(planes[3] - 4096, 0) * 9400) >> 13,
+                         0, 65535)
+        else:
+            # 3-channel sources: 12-bit-domain cap except the final
+            # right-border pair, opaque alpha (decode_sample_rgb)
+            def cap(x):
+                q = jnp.minimum(x, 65520)
+                return q.at[..., -2:].set(x[..., -2:])
+            g, r, b = cap(g), cap(r), cap(b)
+            a = jnp.full_like(g, 65520)
+        return jnp.stack([a, r, g, b], axis=-1).astype(jnp.uint16).reshape(
+            *g.shape[:-1], -1)
+
+    @partial(jax.jit, static_argnums=0)
+    def inverse_byr4(self, coeffs):
+        """Bayer coeffs (G, RG, BG, GD difference planes) -> (B, 2h, 2w)
+        uint16 BYR4 mosaic: GenerateBYR2's un-difference with the
+        BYR4LinearRestore log-to-linear LUT (`Codec/bayer.c:13237`,
+        ref/demosaic.generate_byr2_components)."""
+        from cineform_tpu.ref.demosaic import log2lin_lut
+
+        G, RG, BG, GD = self._row16u_planes(coeffs)
+        lut = jnp.asarray(log2lin_lut().astype(np.int32))
+        g = G.astype(jnp.int32)
+        r = jnp.clip(((RG.astype(jnp.int32) - 32768) << 1) + g, 0, 0xFFFF)
+        b = jnp.clip(((BG.astype(jnp.int32) - 32768) << 1) + g, 0, 0xFFFF)
+        gd = GD.astype(jnp.int32) - 32768
+        g1 = jnp.clip(g + gd, 0, 0xFFFF)
+        g2 = jnp.clip(g - gd, 0, 0xFFFF)
+        r, g1, g2, b = (lut[r >> 2], lut[g1 >> 2], lut[g2 >> 2], lut[b >> 2])
+        lead, (h, w) = G.shape[:-2], G.shape[-2:]
+        lineA = jnp.stack([r, g1], axis=-1).reshape(*lead, h, 2 * w)
+        lineB = jnp.stack([g2, b], axis=-1).reshape(*lead, h, 2 * w)
+        return jnp.stack([lineA, lineB], axis=-2).reshape(
+            *lead, 2 * h, 2 * w).astype(jnp.uint16)
+
     # --- fully device-side encode: transform + quant + entropy pack ---------
 
     def _band_groups(self, coeffs) -> list[list[int]]:
@@ -474,15 +538,20 @@ class IntraCodec:
     # --- fully device-side decode: entropy + inverse transform --------------
 
     #: band classes: (wavelet index k, plane channels) — k indexes band
-    #: dims plane >> (k+1); luma (channel 0) and chroma (1, 2) have
-    #: different widths so they decode as separate row classes
-    _DECODE_CLASSES = tuple((k, planes)
-                            for k in range(3) for planes in ((0,), (1, 2)))
+    #: dims plane >> (k+1).  YUV 4:2:2 luma and chroma have different
+    #: widths so they decode as separate row classes; RGB/RGBA/Bayer
+    #: channels are all full plane width and share one class per level.
+    @property
+    def _DECODE_CLASSES(self):
+        if self.encoded == "YUV":
+            return tuple((k, planes)
+                         for k in range(3) for planes in ((0,), (1, 2)))
+        chans = tuple(range(self.num_channels))
+        return tuple((k, chans) for k in range(3))
 
     def _class_dims(self, k: int, planes: tuple[int, ...]):
-        bh = self.height >> (k + 1)
-        plane_w = self.width if planes == (0,) else self.width // 2
-        bw = plane_w >> (k + 1)
+        bh = self.params.height >> (k + 1)
+        bw = self.plane_width(planes[0]) >> (k + 1)
         return bh, bw, intra_host.align16_pixels(bw)
 
     @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -536,12 +605,18 @@ class IntraCodec:
                 coeffs_by[(ch, k)] = tuple(co[:, pi, b] for b in range(3))
             ovfs.append(ovf)
         coeffs = []
-        for ch in range(3):
+        for ch in range(self.num_channels):
             bands = [coeffs_by[(ch, k)] for k in range(3)]
             coeffs.append((jnp.asarray(lowpass[ch]), bands))
         ovf_frame = jnp.stack(ovfs, axis=0).any(axis=0)        # (batch,)
         if output == "BGRA":
             return self.inverse_bgra(coeffs), ovf_frame
+        if output == "RG48":
+            return self.inverse_rg48(coeffs), ovf_frame
+        if output == "b64a":
+            return self.inverse_b64a(coeffs), ovf_frame
+        if output == "BYR4":
+            return self.inverse_byr4(coeffs), ovf_frame
         return self.inverse(coeffs, frame_index), ovf_frame
 
     #: floor for the per-class row capacity bucket (chunks of 32 bits);
@@ -571,17 +646,20 @@ class IntraCodec:
         from cineform_tpu.bitstream import fastwalk
 
         batch = len(samples)
+        p = self.params
+        nch_total = self.num_channels
+        lh = p.height >> 3
+        lws = tuple(self.plane_width(ch) >> 3 for ch in range(nch_total))
         #: (ch, k, band, i) -> (data_off, data_len, quant, lin)
         payload_parts: dict = {}
         walks: list = [None] * batch
         fallback = set()
         for i, sample in enumerate(samples):
             r = fastwalk.walk(sample)
-            lh, lw = self.height >> 3, self.width >> 3
-            if r is None or (r.width, r.height) != (self.width, self.height) \
-                    or r.nchannels != 3 or 0 in r.lowpass_off \
-                    or r.lowpass_h != (lh, lh, lh) \
-                    or r.lowpass_w != (lw, lw // 2, lw // 2):
+            if r is None or (r.width, r.height) != (p.width, p.height) \
+                    or r.nchannels != nch_total or 0 in r.lowpass_off \
+                    or r.lowpass_h != (lh,) * nch_total \
+                    or r.lowpass_w != lws:
                 fallback.add(i)
                 continue
             walks[i] = r
@@ -598,7 +676,7 @@ class IntraCodec:
         for i in range(batch):
             if i in fallback:
                 continue
-            for ch in range(3):
+            for ch in range(nch_total):
                 for k in range(3):
                     for band in (1, 2, 3):
                         if (ch, k, band, i) not in payload_parts:
@@ -640,11 +718,14 @@ class IntraCodec:
 
         # frames not decoded on device still need placeholder lowpass
         lp = []
-        lh, lw = self.height >> 3, (self.width >> 3)
-        for ch in range(3):
-            w = lw if ch == 0 else lw // 2
+        for ch in range(nch_total):
+            w = lws[ch]
             arr = np.zeros((batch, lh, w), np.int32)
-            bias = intra_host.lowpass_channel_offset(w)
+            # the deep RGB/Bayer reconstructions take no lowpass channel
+            # offset (`decoder.c:12296-12319`); the YUV 8-bit path's bias
+            # is pinned in lowpass_channel_offset
+            bias = (intra_host.lowpass_channel_offset(w)
+                    if self.encoded == "YUV" else 0)
             for i in live:
                 fastwalk.lowpass_i32(samples[i], walks[i].lowpass_off[ch],
                                      lh, w, bias, arr[i])
@@ -652,30 +733,47 @@ class IntraCodec:
         return (tuple(pays), tuple(nchs), tuple(qns), tuple(lins),
                 tuple(lp), fallback)
 
+    #: default device-decode output per encoded format (the host-path
+    #: byte-exact counterparts used for fallbacks and identity tests)
+    _DEFAULT_DECODE_OUTPUT = {"YUV": "YUY2", "RGB": "RG48",
+                              "RGBA": "b64a", "RGBA_FULL": "b64a",
+                              "BAYER": "BYR4"}
+
     def decode_batch_device(self, samples: list[bytes],
                             frame_index: int = 0,
                             min_row_chunks: int | None = None,
-                            output: str = "YUY2") -> np.ndarray:
-        """Decode CFHD samples wholly on device (YUY2 or BGRA): the host
-        only walks sample headers and slices payloads; entropy decode,
-        inverse DWT, dither/color conversion and output packing all run
-        in one traced program.  Byte-identical to the host path; frames
-        whose streams use legacy codesets, peaks tables or overflow the
+                            output: str | None = None) -> np.ndarray:
+        """Decode CFHD samples wholly on device: the host only walks
+        sample headers and slices payloads; entropy decode, inverse DWT,
+        output conversion and packing all run on the chip.  Outputs:
+        YUY2/BGRA for 4:2:2 YUV configs, RG48 for RGB 4:4:4, b64a for
+        RGBA 4:4:4:4, BYR4 for Bayer — each byte-identical to the host
+        path (the reference decodes every encoded format through the
+        same threaded hot path, `Codec/decoder.c:11584`).  Frames whose
+        streams use legacy codesets, peaks tables or overflow the
         payload capacity fall back to the host path per frame."""
-        if self.encoded != "YUV":
-            raise NotImplementedError(
-                "device decode is wired for 4:2:2 YUV configs; RGB/Bayer "
-                "decode goes through the host path (api.Decoder)")
+        if output is None:
+            output = self._DEFAULT_DECODE_OUTPUT[self.encoded]
         batch = len(samples)
         pays, nchs, qns, lins, lp, fallback = self._decode_rows_args(
             samples, min_row_chunks)
 
         def host_decode(subset):
+            from cineform_tpu.models import intra_host as ih
             if output == "BGRA":
-                from cineform_tpu.models.intra_host import decode_sample_bgra
                 return np.stack([np.frombuffer(
-                    decode_sample_bgra(x), np.uint8).reshape(
+                    ih.decode_sample_bgra(x), np.uint8).reshape(
                         self.height, self.width, 4) for x in subset])
+            if output in ("RG48", "b64a") and self.encoded != "BAYER":
+                nc = 3 if output == "RG48" else 4
+                return np.stack([np.frombuffer(
+                    ih.decode_sample_rgb(x, output)[0], "<u2").reshape(
+                        self.params.height, self.params.width * nc)
+                    for x in subset])
+            if output == "BYR4":
+                return np.stack([np.frombuffer(
+                    ih.decode_sample_bayer_to(x, "BYR4"), "<u2").reshape(
+                        self.height, self.width) for x in subset])
             return self.decode_batch(subset, frame_index)
 
         if len(fallback) == batch:

@@ -61,6 +61,31 @@ def decode_sample_3d(sample: bytes, eye: int = 0,
     return out
 
 
+def decode_batch_device_3d(samples: list[bytes], eye: int = 0,
+                           codec=None) -> np.ndarray:
+    """Decode one eye of a batch of 3D samples wholly on device: split
+    each sample into its per-eye bitstreams (host pointer arithmetic)
+    and run the eye's complete sub-sample through the device decoder —
+    the reference decodes the selected eye through the same hot path
+    (`Codec/decoder.c:10086-10104` channel selection).  Either eye uses
+    the decoder's first rand() dither window, like a fresh decoder
+    instance decoding that eye (decode_sample_3d semantics, pinned vs
+    the binary's decode_3d).  Byte-identical to decode_sample_3d."""
+    from cineform_tpu.models.intra import IntraCodec
+
+    eye_samples = []
+    for sample in samples:
+        eyes = split_3d(sample)
+        if eye >= len(eyes):
+            raise ValueError(f"sample has {len(eyes)} video channels")
+        eye_samples.append(eyes[eye])
+    if codec is None:
+        s = parse_sample(eye_samples[0])
+        codec = IntraCodec(width=s.width, height=s.height,
+                           quality=max(1, s.quality & 0xF) or 4)
+    return codec.decode_batch_device(eye_samples)
+
+
 # ---------------------------------------------------------------------------
 # 3D blend modes (`Do3DWork` / `ProcessLine3D`, `Codec/bayer.c:10761`;
 # mode enum `Codec/codec.h:1261-1278`)

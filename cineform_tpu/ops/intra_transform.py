@@ -546,3 +546,44 @@ def inverse_channel_strips(lowpass, bands, prescale):
         ll = dwt2d_inverse(ll, lh, hl, hh, 2 if prescale[k] == 2 else 1)
     lh, hl, hh = bands[0]
     return v26_inverse(ll, hl), v26_inverse(lh, hh)
+
+
+def h26_inverse_to_row16u(low: jnp.ndarray, high: jnp.ndarray,
+                          precision: int = 10) -> jnp.ndarray:
+    """Final horizontal 2-6 inverse for the DEEP output paths — the
+    device port of ref.intra.h26_inverse_to_row16u, byte-exact vs
+    `InvertHorizontalStrip16sToRow16u`
+    (`Codec/InvertHorizontalStrip16s.c:16571`): SSE lanes clamp the
+    reconstruction to [0, 2*2^precision-1] before >>1<<shift; the scalar
+    tail (columns >= tail0) shifts first and saturates the 16-bit store.
+    Accepts batched (..., H, half) strips; returns (..., H, 2*half)
+    int32 rows holding uint16 values."""
+    rnd = 4
+    low = low.astype(jnp.int32)
+    high = high.astype(jnp.int32)
+    te = (low[..., :-2] - low[..., 2:] + rnd) >> 3
+    to = (-low[..., :-2] + low[..., 2:] + rnd) >> 3
+    even_i = te + low[..., 1:-1] + high[..., 1:-1]
+    odd_i = to + low[..., 1:-1] - high[..., 1:-1]
+    t0e = (11 * low[..., 0] - 4 * low[..., 1] + low[..., 2] + rnd) >> 3
+    t0o = (5 * low[..., 0] + 4 * low[..., 1] - low[..., 2] + rnd) >> 3
+    tke = (5 * low[..., -1] + 4 * low[..., -2] - low[..., -3] + rnd) >> 3
+    tko = (11 * low[..., -1] - 4 * low[..., -2] + low[..., -3] + rnd) >> 3
+    even = jnp.concatenate([(t0e + high[..., 0])[..., None], even_i,
+                            (tke + high[..., -1])[..., None]], -1)
+    odd = jnp.concatenate([(t0o - high[..., 0])[..., None], odd_i,
+                           (tko - high[..., -1])[..., None]], -1)
+    lim = (2 << precision) - 1
+    shift = 16 - precision
+    half = low.shape[-1]
+    sse_e = jnp.clip(even, 0, lim) >> 1 << shift
+    sse_o = jnp.clip(odd, 0, lim) >> 1 << shift
+    scl_e = jnp.clip((even >> 1) << shift, 0, 65535)
+    scl_o = jnp.clip((odd >> 1) << shift, 0, 65535)
+    tail0 = (half - (half % 8) - 9) if half >= 16 else 2
+    col = jnp.arange(half)
+    scalar = col >= tail0
+    scalar = scalar.at[0].set(False)   # left border stays the SSE lane
+    e = jnp.where(scalar, scl_e, sse_e)
+    o = jnp.where(scalar, scl_o, sse_o)
+    return _interleave(e, o)

@@ -104,3 +104,48 @@ def test_sample_decode_device_matches_host():
     host = codec.decode_batch(samples)
     dev = codec.decode_batch_device(samples)
     assert (host == dev).all()
+
+
+def _device_vs_host(input_format, frame_fn, output, w=128, h=64):
+    from cineform_tpu.models.intra import IntraCodec
+
+    codec = IntraCodec(width=w, height=h, quality=4,
+                       input_format=input_format)
+    base = np.frombuffer(frame_fn(w, h, 1), np.uint8).reshape(h, -1)
+    frames = np.stack([base, np.roll(base, 3, axis=0)])
+    samples = codec.encode_batch(frames)
+    dev = codec.decode_batch_device(samples, output=output)
+    return codec, samples, dev
+
+
+def test_rgb_sample_decode_device_matches_host():
+    """Device RG48 decode of RGB 4:4:4 sources == host decode_sample_rgb
+    byte-for-byte (`Codec/decoder.c:11584` decodes every encoded format
+    through the same hot path)."""
+    from cineform_tpu.models import intra_host as ih
+    from cineform_tpu.utils.testframes import rg48_frame
+
+    codec, samples, dev = _device_vs_host("RG48", rg48_frame, "RG48")
+    for i, s in enumerate(samples):
+        host = np.frombuffer(ih.decode_sample_rgb(s, "RG48")[0], "<u2")
+        assert (host == dev[i].reshape(-1)).all()
+
+
+def test_rgba_sample_decode_device_matches_host():
+    from cineform_tpu.models import intra_host as ih
+    from cineform_tpu.utils.testframes import b64a_frame
+
+    codec, samples, dev = _device_vs_host("B64A", b64a_frame, "b64a")
+    for i, s in enumerate(samples):
+        host = np.frombuffer(ih.decode_sample_rgb(s, "b64a")[0], "<u2")
+        assert (host == dev[i].reshape(-1)).all()
+
+
+def test_bayer_sample_decode_device_matches_host():
+    from cineform_tpu.models import intra_host as ih
+    from cineform_tpu.utils.testframes import byr4_frame
+
+    codec, samples, dev = _device_vs_host("BYR4", byr4_frame, "BYR4")
+    for i, s in enumerate(samples):
+        host = np.frombuffer(ih.decode_sample_bayer_to(s, "BYR4"), "<u2")
+        assert (host == dev[i].reshape(-1)).all()

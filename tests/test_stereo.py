@@ -123,3 +123,21 @@ def intra_host_decode(sample, eye):
     eyes = stereo.split_3d(sample)
     out, _ = intra_host.decode_sample(eyes[eye], frame_index=eye)
     return out
+
+
+def test_stereo_device_decode_matches_host():
+    """decode_batch_device_3d == decode_sample_3d byte-for-byte, both
+    eyes (device stereo decode, `Codec/decoder.c:10086-10104`)."""
+    import numpy as np
+
+    from cineform_tpu.models import stereo
+    from cineform_tpu.utils.testframes import yuy2_frame
+
+    w, h = 128, 64
+    sample = stereo.encode_sample_3d(yuy2_frame(w, h, 1),
+                                     yuy2_frame(w, h, 2), w, h, 4)
+    for eye in (0, 1):
+        host = np.frombuffer(stereo.decode_sample_3d(sample, eye),
+                             np.uint8).reshape(h, 2 * w)
+        dev = stereo.decode_batch_device_3d([sample, sample], eye=eye)
+        assert (dev[0] == host).all() and (dev[1] == host).all()
