@@ -90,6 +90,12 @@ class PixelFormat(enum.IntEnum):
     WP13 = _fourcc("WP13")
     W13A = _fourcc("W13A")
     BYR2 = _fourcc("BYR2")
+    # Avid CT family (`Common/CFHDTypes.h:79-84`)
+    CT_UCHAR = _fourcc("avu8")
+    CT_10BIT_2_8 = _fourcc("av28")
+    CT_SHORT_2_14 = _fourcc("a214")
+    CT_USHORT_10_6 = _fourcc("a106")
+    CT_SHORT = _fourcc("av16")
 
 
 class EncodedFormat(enum.IntEnum):
@@ -188,10 +194,18 @@ class Encoder:
                      PixelFormat.R210, PixelFormat.DPX0, PixelFormat.RG30,
                      PixelFormat.AB10, PixelFormat.AR10, PixelFormat.BGRA,
                      PixelFormat.RG24, PixelFormat.RG64, PixelFormat.BYR4,
-                     PixelFormat.BYR5)
+                     PixelFormat.BYR5, PixelFormat.CT_UCHAR,
+                     PixelFormat.CT_10BIT_2_8, PixelFormat.CT_SHORT_2_14,
+                     PixelFormat.CT_USHORT_10_6, PixelFormat.CT_SHORT,
+                     PixelFormat.BGRa)
     # internal COLOR_FORMAT codes written into the INPUT_FORMAT tag
+    # (Avid CbYCrY codes: `Codec/color.h:104-108`)
     _INPUT_FORMAT_CODES = {PixelFormat.YUY2: 2, PixelFormat.UYVY: 1,
-                           PixelFormat.V210: 10, PixelFormat.YU64: 12}
+                           PixelFormat.V210: 10, PixelFormat.YU64: 12,
+                           PixelFormat.CT_UCHAR: 65, PixelFormat.CT_SHORT: 66,
+                           PixelFormat.CT_10BIT_2_8: 67,
+                           PixelFormat.CT_SHORT_2_14: 68,
+                           PixelFormat.CT_USHORT_10_6: 69}
 
     def __init__(self) -> None:
         self._prepared = False
@@ -331,6 +345,13 @@ class Encoder:
             pf.R210: 4 * self.width, pf.DPX0: 4 * self.width,
             pf.RG30: 4 * self.width, pf.AB10: 4 * self.width,
             pf.AR10: 4 * self.width,
+            pf.CT_UCHAR: 2 * self.width,
+            # av28: w*h/2 upper plane + 2*w*h lower plane = 2.5 B/px
+            pf.CT_10BIT_2_8: 5 * self.width // 2,
+            pf.CT_SHORT_2_14: 4 * self.width,
+            pf.CT_USHORT_10_6: 4 * self.width,
+            pf.CT_SHORT: 4 * self.width,
+            pf.BGRa: 4 * self.width,
         }[self.pixel_format]
         buf = (np.frombuffer(frame, dtype=np.uint8)
                if isinstance(frame, (bytes, bytearray)) else frame.view(np.uint8))
@@ -371,10 +392,12 @@ class Encoder:
                 buf.tobytes(), self.width, self.height, int(self.quality),
                 fourcc, frame_number=self._frame_number,
                 metadata=frame_meta)
-        elif self.pixel_format in (PixelFormat.BGRA, PixelFormat.RG24):
+        elif self.pixel_format in (PixelFormat.BGRA, PixelFormat.BGRa,
+                                   PixelFormat.RG24):
             self._sample = intra_host.encode_sample_rgb8(
                 buf.tobytes(), self.width, self.height, int(self.quality),
-                "BGRA" if self.pixel_format == PixelFormat.BGRA else "RG24",
+                {PixelFormat.BGRA: "BGRA", PixelFormat.BGRa: "BGRa",
+                 PixelFormat.RG24: "RG24"}[self.pixel_format],
                 frame_number=self._frame_number, metadata=frame_meta)
         elif self.pixel_format == PixelFormat.RG64:
             self._sample = intra_host.encode_sample_rg64(
@@ -471,6 +494,15 @@ class Encoder:
                                         pitch=row_bytes)
             elif self.pixel_format == PixelFormat.UYVY:
                 planes = xf.unpack_uyvy(buf.tobytes(), self.width, self.height)
+            elif self.pixel_format == PixelFormat.CT_UCHAR:
+                planes = xf.unpack_avu8(buf.tobytes(), self.width, self.height)
+            elif self.pixel_format == PixelFormat.CT_10BIT_2_8:
+                planes = xf.unpack_av28(buf.tobytes(), self.width, self.height)
+            elif self.pixel_format == PixelFormat.CT_SHORT_2_14:
+                planes = xf.unpack_a214(buf.tobytes(), self.width, self.height)
+            elif self.pixel_format in (PixelFormat.CT_USHORT_10_6,
+                                       PixelFormat.CT_SHORT):
+                planes = xf.unpack_av16(buf.tobytes(), self.width, self.height)
             else:
                 planes = xf.unpack_yu64(buf.tobytes(), self.width, self.height)
             self._sample = intra_host.encode_sample_planes(
@@ -514,7 +546,10 @@ class Decoder:
                       PixelFormat.DPX0, PixelFormat.RG30,
                       PixelFormat.BYR4, PixelFormat.BYR2, PixelFormat.YUYV,
                       PixelFormat.BGRa, PixelFormat.RG24, PixelFormat.R408,
-                      PixelFormat.V408, PixelFormat.WP13, PixelFormat.W13A)
+                      PixelFormat.V408, PixelFormat.WP13, PixelFormat.W13A,
+                      PixelFormat.CT_SHORT, PixelFormat.CT_USHORT_10_6,
+                      PixelFormat.CT_SHORT_2_14, PixelFormat.CT_10BIT_2_8,
+                      PixelFormat.CT_UCHAR)
 
     def __init__(self) -> None:
         self._prepared = False
@@ -623,7 +658,14 @@ class Decoder:
                    PixelFormat.YUYV: "yuyv", PixelFormat.BGRa: "BGRa",
                    PixelFormat.RG24: "RG24", PixelFormat.R408: "R408",
                    PixelFormat.V408: "V408", PixelFormat.WP13: "WP13",
-                   PixelFormat.W13A: "W13A"}
+                   PixelFormat.W13A: "W13A",
+                   PixelFormat.CT_SHORT: "av16",
+                   PixelFormat.CT_USHORT_10_6: "a106",
+                   PixelFormat.CT_SHORT_2_14: "a214",
+                   PixelFormat.CT_10BIT_2_8: "av28",
+                   # accepted by PrepareToDecode but rejected at decode,
+                   # matching the binary (GetFramePitch throws for avu8)
+                   PixelFormat.CT_UCHAR: "avu8"}
     #: output row pitch in bytes as a function of width
     _ROW_BYTES = {
         PixelFormat.YUY2: lambda w: 2 * w,
@@ -646,6 +688,11 @@ class Decoder:
         PixelFormat.V408: lambda w: 4 * w,
         PixelFormat.WP13: lambda w: 6 * w,
         PixelFormat.W13A: lambda w: 8 * w,
+        PixelFormat.CT_SHORT: lambda w: 4 * w,
+        PixelFormat.CT_USHORT_10_6: lambda w: 4 * w,
+        PixelFormat.CT_SHORT_2_14: lambda w: 4 * w,
+        PixelFormat.CT_10BIT_2_8: lambda w: 5 * w // 2,
+        PixelFormat.CT_UCHAR: lambda w: 2 * w,
     }
 
     def _gop_fourcc(self, what: str) -> str:

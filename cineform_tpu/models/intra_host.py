@@ -473,10 +473,17 @@ def encode_sample_rgb10(frame: bytes, width: int, height: int, quality: int,
 def encode_sample_rgb8(frame: bytes, width: int, height: int, quality: int,
                        fourcc: str = "BGRA", frame_number: int = 1,
                        metadata: EncoderMetadata | None = None) -> bytes:
-    """Encode 8-bit RGB input (BGRA with alpha dropped, or RG24 BGR),
-    bottom-up rows, as 12-bit RGB 4:4:4; byte-exact vs the reference."""
+    """Encode 8-bit RGB input (BGRA with alpha dropped, BGRa top-down,
+    or RG24 BGR), as 12-bit RGB 4:4:4; byte-exact vs the reference.
+    BGRa is COLOR_FORMAT_RGB32_INVERTED (`Codec/color.h:71`): the same
+    pixel layout as BGRA with rows stored top-down instead of
+    bottom-up."""
     if fourcc == "BGRA":
         planes, input_format = xf.unpack_bgra(frame, width, height), 32
+    elif fourcc == "BGRa":
+        flipped = np.frombuffer(frame, np.uint8).reshape(
+            height, 4 * width)[::-1].tobytes()
+        planes, input_format = xf.unpack_bgra(flipped, width, height), 9
     else:
         planes, input_format = xf.unpack_rg24(frame, width, height), 7
     params = IntraParams(width=width, height=height, quality=quality,
@@ -1031,6 +1038,49 @@ def _decode_sample_r408(sample: bytes, fourcc: str) -> bytes:
     return out.astype(np.uint8).tobytes()
 
 
+def _decode_sample_avid(sample: bytes, fourcc: str) -> bytes:
+    """Avid CT output family, byte-exact vs the reference binary
+    (decode_fmt goldens): the 16-bit planar reconstruction with the
+    default (+24) lowpass offset, component quads ordered
+    [C1, Y1, C2, Y2] per pixel pair (`ConvertYUV16ToCbYCrY_*`,
+    `Codec/convert.c:19023-19929`):
+
+    - 'av16' / 'a106': the 16-bit values verbatim
+    - 'a214': signed 2.14 -- luma Clamp16s((v-4096)<<6 / 219), chroma
+      Clamp16s((v-4096)<<6 / 224 - 8192), C-truncating division
+    - 'av28': two planes -- 2-bit uppers ((v>>6)&3) packed 4-per-byte
+      [C1|Y1|C2|Y2] high-to-low, then 8-bit lowers (v>>8) as CbYCrY rows
+    """
+    y16, c116, c216 = _decode_row16u_planes(sample, False)
+    h, half = c116.shape
+    y1, y2 = y16[:, 0::2], y16[:, 1::2]
+    if fourcc in ("av16", "a106"):
+        out = np.stack([c116, y1, c216, y2], -1)
+        return out.astype("<u2").tobytes()
+    if fourcc == "a214":
+        def trunc_div(n, d):
+            return np.sign(n) * (np.abs(n) // d)
+
+        def lum(v):
+            return np.clip(trunc_div((v.astype(np.int64) - 4096) << 6, 219),
+                           -32768, 32767)
+
+        def chr_(v):
+            return np.clip(
+                trunc_div((v.astype(np.int64) - 4096) << 6, 224) - 8192,
+                -32768, 32767)
+        out = np.stack([chr_(c116), lum(y1), chr_(c216), lum(y2)], -1)
+        return out.astype("<i2").tobytes()
+    # av28: w*h/2 bytes of packed 2-bit uppers + 2*w*h bytes of 8-bit
+    # lowers; this converter wires the chroma channels the OTHER way
+    # around from av16/a106/a214 (pinned against the binary's goldens)
+    quads = np.stack([c216, y1, c116, y2], -1).astype(np.int64)
+    upper = ((quads[..., 0] >> 6) & 3) << 6 | ((quads[..., 1] >> 6) & 3) << 4 \
+        | ((quads[..., 2] >> 6) & 3) << 2 | ((quads[..., 3] >> 6) & 3)
+    lower = (quads >> 8) & 0xFF
+    return upper.astype(np.uint8).tobytes() + lower.astype(np.uint8).tobytes()
+
+
 def yuv16_to_wp13(y16: np.ndarray, c116: np.ndarray,
                   c216: np.ndarray) -> np.ndarray:
     """16-bit planar 4:2:2 YUV -> signed 13-bit-whitepoint RGB (H, W, 3),
@@ -1131,6 +1181,15 @@ def decode_sample_to(sample: bytes, fourcc: str) -> bytes:
         return _decode_sample_rg24(sample)
     if fourcc in ("R408", "V408"):
         return _decode_sample_r408(sample, fourcc)
+    if fourcc in ("av16", "a106", "a214", "av28"):
+        return _decode_sample_avid(sample, fourcc)
+    if fourcc == "avu8":
+        # the reference binary CANNOT decode to CT_UCHAR through its
+        # public API: CSampleDecoder::GetFramePitch has no case for it
+        # and throws CFHD_ERROR_BADFORMAT, which CFHD_DecodeSample
+        # surfaces as CFHD_ERROR_DECODE_BUFFER_SIZE
+        # (`DecoderSDK/SampleDecoder.cpp:290-360`, CFHDDecoder.cpp:754)
+        raise ValueError("avu8 output is rejected by the reference SDK")
     if fourcc in ("WP13", "W13A"):
         return _wp13_pack(yuv16_to_wp13(*_decode_row16u_planes(
             sample, False)), fourcc)

@@ -97,6 +97,84 @@ def unpack_yu64(raw: bytes | np.ndarray, width: int, height: int) -> list[np.nda
     return [y, c1, c2]
 
 
+def unpack_avu8(raw: bytes | np.ndarray, width: int, height: int
+                ) -> list[np.ndarray]:
+    """Avid CT_UCHAR ('avu8', 8-bit CbYCrY 4:2:2) -> 10-bit planes
+    (`ConvertCbYCrY_8bitToFrame16s`, `Codec/frame.c:13386`): each
+    component << 2; channel 1 <- Cr, channel 2 <- Cb."""
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    quad = arr.reshape(height, width // 2, 4).astype(_I32)
+    y = quad[:, :, [1, 3]].reshape(height, width) << 2
+    cr = quad[:, :, 2] << 2
+    cb = quad[:, :, 0] << 2
+    return [y, cr, cb]
+
+
+def unpack_av16(raw: bytes | np.ndarray, width: int, height: int
+                ) -> list[np.ndarray]:
+    """Avid CT_SHORT ('av16') / CT_USHORT_10_6 ('a106'): 16-bit CbYCrY
+    components >> 6 to 10-bit planes (`ConvertCbYCrY_16bitToFrame16s` /
+    `ConvertCbYCrY_16bit_10_6ToFrame16s`, `Codec/frame.c:13319/13453` —
+    identical math)."""
+    arr = (np.frombuffer(raw, dtype="<u2")
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    quad = arr.reshape(height, width // 2, 4).astype(_I32)
+    y = quad[:, :, [1, 3]].reshape(height, width) >> 6
+    cr = quad[:, :, 2] >> 6
+    cb = quad[:, :, 0] >> 6
+    return [y, cr, cb]
+
+
+def unpack_a214(raw: bytes | np.ndarray, width: int, height: int
+                ) -> list[np.ndarray]:
+    """Avid CT_SHORT_2_14 ('a214', signed 2.14 fixed point CbYCrY) ->
+    10-bit planes (`ConvertCbYCrY_16bit_2_14ToFrame16s`,
+    `Codec/frame.c:13234`): luma (219*Y/16384 + 16) << 2, chroma
+    (224*(C+8192)/16384 + 16) << 2 with C-truncating division, then
+    SATURATE_10U."""
+    arr = (np.frombuffer(raw, dtype="<i2")
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    quad = arr.reshape(height, width // 2, 4).astype(np.int64)
+
+    def trunc_div(n, d):
+        return np.sign(n) * (np.abs(n) // d)
+
+    def lum(v):
+        return np.clip((trunc_div(219 * v, 16384) + 16) << 2, 0, 1023)
+
+    def chr_(v):
+        return np.clip((trunc_div(224 * (v + 8192), 16384) + 16) << 2,
+                       0, 1023)
+
+    y = lum(quad[:, :, [1, 3]].reshape(height, width)).astype(_I32)
+    cr = chr_(quad[:, :, 2]).astype(_I32)
+    cb = chr_(quad[:, :, 0]).astype(_I32)
+    return [y, cr, cb]
+
+
+def unpack_av28(raw: bytes | np.ndarray, width: int, height: int
+                ) -> list[np.ndarray]:
+    """Avid CT_10BIT_2_8 ('av28', two planes: w*h/2 bytes of 2-bit
+    upper components packed [Cb Y1 Cr Y2] high-to-low, then 8-bit
+    CbYCrY rows) -> 10-bit planes
+    (`ConvertCbYCrY_10bit_2_8ToFrame16s`, `Codec/frame.c:13144`)."""
+    arr = (np.frombuffer(raw, dtype=np.uint8)
+           if isinstance(raw, (bytes, bytearray)) else raw)
+    upper = arr[:width * height // 2].reshape(
+        height, width // 2).astype(_I32)
+    lower = arr[width * height // 2:width * height // 2 + 2 * width * height]
+    quad = lower.reshape(height, width // 2, 4).astype(_I32)
+    cb_u, y1_u = (upper >> 6) & 3, (upper >> 4) & 3
+    cr_u, y2_u = (upper >> 2) & 3, upper & 3
+    y1 = (quad[:, :, 1] << 2) | y1_u
+    y2 = (quad[:, :, 3] << 2) | y2_u
+    cr = (quad[:, :, 2] << 2) | cr_u
+    cb = (quad[:, :, 0] << 2) | cb_u
+    y = np.stack([y1, y2], axis=-1).reshape(height, width)
+    return [y, cr, cb]
+
+
 def unpack_v210(raw: bytes | np.ndarray, width: int, height: int,
                 pitch: int | None = None,
                 reference_compatible: bool = True) -> list[np.ndarray]:

@@ -443,3 +443,71 @@ def test_encode_tail_inputs_pinned_rejection():
         with pytest.raises(api.CFHDError):
             enc.prepare_to_encode(320, 240, code)
             enc.encode_sample(b"\0" * (320 * 240 * 8))
+
+
+AVID_RAW_FORMATS = [
+    ("raw_avu8", api.PixelFormat.CT_UCHAR, 320 * 240 * 2),
+    ("raw_av28", api.PixelFormat.CT_10BIT_2_8, 320 * 240 * 5 // 2),
+    ("raw_a214", api.PixelFormat.CT_SHORT_2_14, 320 * 240 * 4),
+    ("raw_a106", api.PixelFormat.CT_USHORT_10_6, 320 * 240 * 4),
+    ("raw_av16", api.PixelFormat.CT_SHORT, 320 * 240 * 4),
+]
+
+
+def test_avid_ct_inputs_encode_byte_exact():
+    """The Avid CT family as ENCODE inputs, byte-exact vs the binary:
+    avu8 (8-bit CbYCrY << 2), av28 (two-plane 2+8 bit), a214 (signed
+    2.14 with the video-range rescale), a106/av16 (16-bit >> 6)
+    (`Codec/frame.c:13144-13520`, `EncoderSDK/SampleEncoder.cpp:675`)."""
+    for name, pf, nbytes in AVID_RAW_FORMATS:
+        gold = _golden(name + ".cfhd")
+        meta = _metadata_from(gold)
+        assert _encode(pf, _raw_fill(nbytes, 1), 320, 240, meta) == gold, name
+
+
+def test_bgra_inverted_input_encode_byte_exact():
+    """BGRa = COLOR_FORMAT_RGB32_INVERTED: BGRA pixels with rows stored
+    top-down (`EncoderSDK/SampleEncoder.cpp:1228`, `Codec/color.h:71`).
+    Note: the reference crashes (double free) when BGRa is paired with
+    ENCODED_FORMAT_RGBA_4444; RGB_444 is the supported combination."""
+    gold = _golden("raw_BGRa.cfhd")
+    meta = _metadata_from(gold)
+    assert _encode(api.PixelFormat.BGRa, _raw_fill(320 * 240 * 4, 1),
+                   320, 240, meta) == gold
+
+
+def test_avid_ct_outputs_decode_byte_exact():
+    """The Avid CT family as DECODE outputs, byte-exact vs the binary's
+    decode_fmt goldens (`ConvertYUV16ToCbYCrY_*`,
+    `Codec/convert.c:19023-19929`; av28's converter wires the chroma
+    channels the other way around from av16/a106/a214)."""
+    from cineform_tpu.models.intra_host import decode_sample_to
+
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    for f in ("av16", "a106", "a214", "av28"):
+        assert decode_sample_to(sample, f) == \
+            _golden(f"s_320x240_q4_p1.{f}out"), f
+
+
+def test_avu8_output_rejected_like_reference():
+    """CT_UCHAR as a decode output: the reference accepts it in
+    PrepareToDecode but CFHD_DecodeSample always fails
+    (CSampleDecoder::GetFramePitch has no avu8 case and throws;
+    surfaced as CFHD_ERROR_DECODE_BUFFER_SIZE).  We mirror the
+    accept-then-reject behavior."""
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    dec = api.Decoder()
+    dec.prepare_to_decode(0, 0, output_format=api.PixelFormat.CT_UCHAR,
+                          sample=sample)
+    with pytest.raises(api.CFHDError):
+        dec.decode_sample(sample)
+
+
+def test_avid_ct_outputs_via_api():
+    sample = _golden("s_320x240_q4_p1.cfhd")
+    for pf, name in ((api.PixelFormat.CT_SHORT, "av16"),
+                     (api.PixelFormat.CT_10BIT_2_8, "av28")):
+        dec = api.Decoder()
+        dec.prepare_to_decode(0, 0, output_format=pf, sample=sample)
+        out = dec.decode_sample(sample)
+        assert out.tobytes() == _golden(f"s_320x240_q4_p1.{name}out")

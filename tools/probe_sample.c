@@ -223,8 +223,7 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
     else if (!strcmp(fmt, "AB10")) { pf = CFHD_PIXEL_FORMAT_AB10; pitch = w * 4; }
     else if (!strcmp(fmt, "AR10")) { pf = CFHD_PIXEL_FORMAT_AR10; pitch = w * 4; }
     else if (!strcmp(fmt, "BGRA")) { pf = CFHD_PIXEL_FORMAT_BGRA; pitch = w * 4; }
-    else if (!strcmp(fmt, "BGRa")) { pf = CFHD_PIXEL_FORMAT_BGRa; pitch = w * 4;
-                                     ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
+    else if (!strcmp(fmt, "BGRa")) { pf = CFHD_PIXEL_FORMAT_BGRa; pitch = w * 4; }
     else if (!strcmp(fmt, "RG24")) { pf = CFHD_PIXEL_FORMAT_RG24; pitch = w * 3; }
     else if (!strcmp(fmt, "RG64")) { pf = CFHD_PIXEL_FORMAT_RG64; pitch = w * 8;
                                      ef = CFHD_ENCODED_FORMAT_RGBA_4444; }
@@ -244,6 +243,16 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
                                      ef = CFHD_ENCODED_FORMAT_YUV_422; }
     else if (!strcmp(fmt, "NV12")) { pf = CFHD_PIXEL_FORMAT_NV12; pitch = w;
                                      ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "avu8")) { pf = CFHD_PIXEL_FORMAT_CT_UCHAR; pitch = w * 2;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "av28")) { pf = CFHD_PIXEL_FORMAT_CT_10BIT_2_8; pitch = w * 2;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "a214")) { pf = CFHD_PIXEL_FORMAT_CT_SHORT_2_14; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "a106")) { pf = CFHD_PIXEL_FORMAT_CT_USHORT_10_6; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
+    else if (!strcmp(fmt, "av16")) { pf = CFHD_PIXEL_FORMAT_CT_SHORT; pitch = w * 4;
+                                     ef = CFHD_ENCODED_FORMAT_YUV_422; }
     else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
 
     CFHD_EncoderRef enc = NULL;
@@ -253,6 +262,9 @@ static int do_encode_raw(const char *fmt, int w, int h, int quality,
                                           (CFHD_EncodingQuality)quality);
     if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
     size_t nbytes = (size_t)pitch * h;
+    /* av28 is two planes (2-bit upper w*h/2 + 8-bit lower 2*w*h); the
+       codec reads the full 2.5*w*h layout regardless of pitch */
+    if (pf == CFHD_PIXEL_FORMAT_CT_10BIT_2_8) nbytes = (size_t)w * h * 5 / 2;
     uint8_t *buf = (uint8_t *)malloc(nbytes);
     uint32_t seed = 0x77777u + (uint32_t)pattern;
     for (size_t i = 0; i + 4 <= nbytes; i += 4) {
@@ -796,6 +808,11 @@ static int do_decode_fmt(const char *inpath, const char *fmt, const char *outpat
     else if (!strcmp(fmt, "BYR2")) { pf = CFHD_PIXEL_FORMAT_BYR2; bpp = 2; }
     else if (!strcmp(fmt, "b48r")) { pf = CFHD_PIXEL_FORMAT_B48R; bpp = 6; }
     else if (!strcmp(fmt, "yuyv")) { pf = CFHD_PIXEL_FORMAT_YUYV; bpp = 2; }
+    else if (!strcmp(fmt, "avu8")) { pf = CFHD_PIXEL_FORMAT_CT_UCHAR; bpp = 2; }
+    else if (!strcmp(fmt, "av28")) { pf = CFHD_PIXEL_FORMAT_CT_10BIT_2_8; bpp = 2; }
+    else if (!strcmp(fmt, "a214")) { pf = CFHD_PIXEL_FORMAT_CT_SHORT_2_14; bpp = 4; }
+    else if (!strcmp(fmt, "a106")) { pf = CFHD_PIXEL_FORMAT_CT_USHORT_10_6; bpp = 4; }
+    else if (!strcmp(fmt, "av16")) { pf = CFHD_PIXEL_FORMAT_CT_SHORT; bpp = 4; }
     else { fprintf(stderr, "unknown fmt %s\n", fmt); return 1; }
 
     FILE *f = fopen(inpath, "rb");
@@ -814,11 +831,15 @@ static int do_decode_fmt(const char *inpath, const char *fmt, const char *outpat
                                           sample, (size_t)size, &aw, &ah, &afmt);
     if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
     int pitch = bpp ? aw * bpp : ((aw + 47) / 48) * 128;
-    uint8_t *out = (uint8_t *)calloc(ah, pitch);
+    /* CbYCrY_10bit_2_8 writes two planes (2-bit upper + 8-bit lower =
+       2.5 bytes/px); give every format generous slack */
+    size_t outsize = (size_t)pitch * ah;
+    if (pf == CFHD_PIXEL_FORMAT_CT_10BIT_2_8) outsize = (size_t)aw * ah * 5 / 2;
+    uint8_t *out = (uint8_t *)calloc(1, outsize + (size_t)aw * ah * 4);
     err = CFHD_DecodeSample(dec, sample, (size_t)size, out, pitch);
     if (err) { fprintf(stderr, "decode %d\n", err); return 1; }
     FILE *g = fopen(outpath, "wb");
-    fwrite(out, 1, (size_t)pitch * ah, g);
+    fwrite(out, 1, outsize, g);
     fclose(g);
     fprintf(stderr, "decoded %s %dx%d pitch %d\n", fmt, aw, ah, pitch);
     CFHD_CloseDecoder(dec);
