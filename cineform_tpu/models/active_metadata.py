@@ -32,6 +32,10 @@ class DevelopParams:
     """Parameters for ops.develop extracted from metadata."""
 
     enabled: bool = False
+    vignette_start: float = 0.0   # VGNS (`decoder.c:7440`: 0 = off)
+    vignette_end: float = 0.0     # VGNE
+    vignette_gain: float = 0.0    # VGNG
+    blur_sharpen: float = 0.0     # BLSH (- blur .. + sharpen)
     wb: tuple = (1.0, 1.0, 1.0)
     matrix: np.ndarray | None = None        # full 3x4 (COLM layout)
     saturation: float = 1.0                  # SATU (payload value)
@@ -84,6 +88,14 @@ def develop_params(sample: bytes,
             p.matrix = None                  # unity matrix bypasses COLM
         elif tag == "LKCR":
             p.look_crc = _u32(item)
+        elif tag == "VGNS" and len(item.payload) >= 4:
+            p.vignette_start = float(_floats(item, 1)[0])
+        elif tag == "VGNE" and len(item.payload) >= 4:
+            p.vignette_end = float(_floats(item, 1)[0])
+        elif tag == "VGNG" and len(item.payload) >= 4:
+            p.vignette_gain = float(_floats(item, 1)[0])
+        elif tag == "BLSH" and len(item.payload) >= 4:
+            p.blur_sharpen = float(_floats(item, 1)[0])
         elif tag == "GAMT" and len(item.payload) >= 4:
             n = min(len(item.payload) // 4, 3)
             vals = [float(np.clip(v, 0.01, 10.0)) for v in _floats(item, n)]

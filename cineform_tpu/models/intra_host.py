@@ -744,9 +744,22 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         p.matrix, p.saturation, p.exposure,
         p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
     gamma_active = p.enabled and tuple(p.rgb_gamma) != (1.0, 1.0, 1.0)
-    if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])):
+    vignette_active = p.enabled and p.vignette_start != 0.0
+    if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])
+                      or vignette_active):
+        # vignette engages the WP13 develop chain even with an identity
+        # matrix (the identity 1D-LUT roundtrip is not the identity)
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
         out13 = dm.apply_active_metadata_matrix(rgb16, m)
+        if vignette_active:
+            # the VGNS/VGNE tags are unity-1.0 GUI values; the decoder
+            # state holds them MINUS ONE (`DemoasicFrames.cpp:5983`,
+            # decoder.c:7444 adds the 1 back); this path's WP13 basis
+            # sits one step above the direct-store chain's (pinned)
+            out13 = dm.fast_vignette_wp13(out13 + 1,
+                                          p.vignette_start - 1.0,
+                                          p.vignette_end - 1.0,
+                                          p.vignette_gain)
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     elif gamma_active:
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)

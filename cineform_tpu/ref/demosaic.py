@@ -794,3 +794,67 @@ def bayer_yuyv_parity(height: int) -> np.ndarray:
     output row t uses lines = y + (t & 1) -> parity (t//2 + t%2) & 1."""
     t = np.arange(height)
     return ((t // 2) + (t & 1)) & 1
+
+
+def fast_vignette_wp13(out13: np.ndarray, vgn_start: float, vgn_end: float,
+                       vgn_gain: float) -> np.ndarray:
+    """FastVignetteInplaceWP13 over a whole (H, W, 3) WP13 frame, exact
+    float32 model (`Codec/DemoasicFrames.cpp:421-545`, mono call site
+    `decoder.c:7874`: displayWidth = width = frame width):
+
+    - vig_diag = sqrtf(1 + (h/w)^2); r1 = ((start+1)*diag)^2,
+      r2 = ((end+1)*diag)^2 (squared inside the function)
+    - per line: ypos = (2*(h/2 - y)/w)^2; xpos marches from -1.0 by
+      2/w in float32 (sequential accumulation), walking pixel columns
+      from BOTH edges inward, two at a time, BREAKING at the first
+      column with r = xpos^2 + ypos <= r1 (the frame center is
+      untouched)
+    - ring columns: Af = softstep((r2-r)/(r2-r1)) * (1-gain) + gain
+      (or plain gain outside r2; zeroed when gain == 0), applied as
+      sign(v) * (int)sqrtf(v*v*Af) per component
+    """
+    f32 = np.float32
+    h, w, _ = out13.shape
+    diag = np.sqrt(f32(1.0) + (f32(h) / f32(w)) * (f32(h) / f32(w)),
+                   dtype=f32)
+    r1 = (f32(vgn_start) + f32(1.0)) * diag
+    r2 = (f32(vgn_end) + f32(1.0)) * diag
+    r1, r2 = r1 * r1, r2 * r2
+    gain = f32(vgn_gain)
+    xstep = f32(2.0) / f32(w)
+    # xpos sequence: sequential float32 accumulation from -1.0
+    xpos = np.empty(w // 2, f32)
+    v = f32(-1.0)
+    for i in range(w // 2):
+        xpos[i] = v
+        v = f32(v + xstep)
+    out = out13.astype(np.int64).copy()
+    for y in range(h):
+        ypos = f32(2.0) * f32(h // 2 - y) / f32(w)
+        ypos = ypos * ypos
+        r = xpos * xpos + ypos
+        inside = np.nonzero(r <= r1)[0]
+        nproc = int(inside[0]) if inside.size else w // 2
+        if nproc == 0:
+            continue
+        rr = r[:nproc]
+        af = (r2 - rr) / (r2 - r1)
+        af = (af - f32(0.5)) * f32(2.0)
+        af = af / (f32(1.0) + np.abs(af))
+        af = af + f32(0.5)
+        af = af * (f32(1.0) - gain) + gain
+        af = np.where(r2 < rr, gain, af).astype(f32)
+        for cols, a in ((np.arange(nproc), af),
+                        (w - 1 - np.arange(nproc), af)):
+            if gain == 0.0:
+                zero_cols = cols[r2 < rr]
+                out[y, zero_cols] = 0
+                ring_cols = cols[(r2 >= rr)]
+                a_ring = a[(r2 >= rr)]
+            else:
+                ring_cols, a_ring = cols, a
+            vv = out[y, ring_cols].astype(f32)
+            mag = np.sqrt(vv * vv * a_ring[:, None], dtype=f32)
+            out[y, ring_cols] = np.sign(out[y, ring_cols]) * \
+                mag.astype(np.int64)
+    return out

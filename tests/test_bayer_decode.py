@@ -153,3 +153,33 @@ def test_bayer_decode_2vuy_byte_exact():
     sample = _golden("byr4_320x240_q4_p1.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "2vuy") == \
         _golden("byr4_320x240_q4_p1.2vuyout")
+
+
+def test_bayer_prcs_only_byte_exact():
+    """PRCS=ACTIVE alone (no develop tags) leaves the direct DemosaicRAW
+    path byte-exact (the develop LUT chain does not engage)."""
+    sample = _golden("byr4_prcs1_96x64_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_prcs1_96x64_q4.rg48out")
+
+
+def test_bayer_vignette_develop_pinned():
+    """VGNS/VGNE/VGNG vignette (FastVignetteInplaceWP13,
+    `Codec/DemoasicFrames.cpp:421`; mono call `decoder.c:7874`): the
+    radial soft-ring gain model is exact — unity-minus-one tag mapping
+    (`DemoasicFrames.cpp:5983`), float32 xpos/ypos march, softstep Af,
+    sign*trunc(sqrtf(v*v*Af)) — applied on the identity-LUT WP13 chain
+    with this path's (v+1)<<3 store.  DOCUMENTED DEVIATION: the binary's
+    vignette path runs its threaded AM demosaic whose WP13 basis differs
+    from DemosaicRAW by a few steps at frame borders, so ring pixels may
+    differ by up to 4 WP13 steps (32 of 65535); >94% of bytes are exact
+    and the untouched center region is fully exact."""
+    import numpy as np
+
+    sample = _golden("byr4_vgn_96x64_q4.cfhd")
+    gold = np.frombuffer(_golden("byr4_vgn_96x64_q4.rg48out"), "<u2")
+    mine = np.frombuffer(
+        intra_host.decode_sample_bayer_to(sample, "RG48"), "<u2")
+    d = np.abs(mine.astype(int) - gold.astype(int))
+    assert (d == 0).mean() > 0.94
+    assert d.max() <= 32

@@ -337,6 +337,60 @@ static int do_encode_byr4_wbal(int w, int h, int quality, int pattern,
     return 0;
 }
 
+/* Encode BYR4 with ARBITRARY metadata tags attached: each extra arg
+ * triple is TAG(4 chars) TYPE(1 char) HEXPAYLOAD.  Drives any
+ * ApplyActiveMetaData stage for develop-pinning goldens. */
+static int do_encode_byr4_meta(int w, int h, int quality, int pattern,
+                               const char *path, int ntags, char **tagargs)
+{
+    CFHD_EncoderRef enc = NULL;
+    CFHD_MetadataRef md = NULL;
+    if (CFHD_OpenEncoder(&enc, NULL)) return 1;
+    CFHD_Error err = CFHD_PrepareToEncode(enc, w, h, CFHD_PIXEL_FORMAT_BYR4,
+                                          CFHD_ENCODED_FORMAT_BAYER,
+                                          CFHD_ENCODING_FLAGS_NONE,
+                                          (CFHD_EncodingQuality)quality);
+    if (err) { fprintf(stderr, "prepare %d\n", err); return 1; }
+    CFHD_MetadataOpen(&md);
+    for (int t = 0; t < ntags; t++) {
+        const char *tag = tagargs[3 * t];
+        char typ = tagargs[3 * t + 1][0];
+        const char *hex = tagargs[3 * t + 2];
+        uint8_t payload[256];
+        int n = 0;
+        for (; hex[2 * n] && hex[2 * n + 1] && n < 256; n++) {
+            unsigned v;
+            sscanf(hex + 2 * n, "%2x", &v);
+            payload[n] = (uint8_t)v;
+        }
+        CFHD_MetadataAdd(md, MAKETAG(tag[0], tag[1], tag[2], tag[3]),
+                         (CFHD_MetadataType)typ, n, (uint32_t *)payload, 0);
+    }
+    CFHD_MetadataAttach(enc, md);
+    uint16_t *buf = (uint16_t *)malloc((size_t)w * h * 2);
+    uint32_t seed = 0xBEEF0u + (uint32_t)pattern;
+    for (int y = 0; y < h; y++) {
+        for (int x = 0; x < w; x++) {
+            uint32_t rnd = xs32(&seed);
+            int v = ((x * 9 + y * 13) << 5) & 0xFFFF;
+            if (pattern > 0) v = (v + (int)(rnd & 2047)) & 0xFFFF;
+            buf[(size_t)y * w + x] = (uint16_t)v;
+        }
+    }
+    err = CFHD_EncodeSample(enc, buf, w * 2);
+    if (err) { fprintf(stderr, "encode %d\n", err); return 1; }
+    void *sample = NULL; size_t size = 0;
+    if (CFHD_GetSampleData(enc, &sample, &size)) return 1;
+    FILE *f = fopen(path, "wb");
+    fwrite(sample, 1, size, f);
+    fclose(f);
+    fprintf(stderr, "byr4+meta %dx%d -> %zu bytes\n", w, h, size);
+    CFHD_MetadataClose(md);
+    CFHD_CloseEncoder(enc);
+    free(buf);
+    return 0;
+}
+
 static int do_encode_byr4(int w, int h, int quality, int pattern, const char *path)
 {
     CFHD_EncoderRef enc = NULL;
@@ -936,6 +990,10 @@ int main(int argc, char **argv)
     if (argc >= 7 && !strcmp(argv[1], "encode_yu64"))
         return do_encode_yu64(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                               atoi(argv[5]), argv[6]);
+    if (argc >= 10 && !strcmp(argv[1], "encode_byr4_meta"))
+        return do_encode_byr4_meta(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                                   atoi(argv[5]), argv[6], (argc - 7) / 3,
+                                   argv + 7);
     if (argc >= 5 && !strcmp(argv[1], "decode_gop"))
         return do_decode_gop(argv[2], argv[3], argv[4]);
     if (argc >= 5 && !strcmp(argv[1], "decode_fmt"))
