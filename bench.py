@@ -419,13 +419,27 @@ def main() -> None:
         # tests/test_intra_jax.py) and costs no tunnel transfer — pulling
         # the device path's capacity-padded words took ~500s at the
         # tunnel's ~0.2 MB/s and blew this stage's budget in round 4.
+        #
+        # Decode content: the SMOOTH pattern (ratio ~11:1, inside the
+        # reference benchmark's own QBist 8.7-21.8:1 range,
+        # README.md:62-66).  Noise-pattern payloads push the per-class
+        # row capacity to S=65536 chunks, where the decode programs
+        # cannot be AOT-compiled on this environment's remote compiler
+        # (the compile helper is OOM-killed); smooth content's buckets
+        # (<=16384) compile.  Device encode time is shape-bound, not
+        # content-bound, so the encode number is unaffected by content.
         from cineform_tpu.models.intra_host import encode_sample as _henc
+        dec_base = np.frombuffer(yuy2_frame(w, h, 0),
+                                 dtype=np.uint8).reshape(h, 2 * w)
+        dec_frames = np.stack([np.roll(dec_base, i, axis=0)
+                               for i in range(batch)])
         uniq = max(1, batch // 4)
         samples = run_with_timeout(
-            lambda: [_henc(np.ascontiguousarray(frames[i]).tobytes(),
+            lambda: [_henc(np.ascontiguousarray(dec_frames[i]).tobytes(),
                            w, h, quality) for i in range(uniq)],
             570, "host_encode_samples")
         samples = (samples * ((batch + uniq - 1) // uniq))[:batch]
+        DETAIL["decode_content"] = "smooth pattern (ratio ~11:1)"
         t0 = time.perf_counter()
         pays, nchs, qns, lins, lp, fb = codec._decode_rows_args(samples)
         DETAIL["host_parse_rows_ms_per_frame"] = round(

@@ -570,7 +570,10 @@ def decode_band_rows_staged(payload: jnp.ndarray,
     ctgt, cval, nval, covf = _emit_rows(packed, act, base, nchunks,
                                         quant, linear, nout)
     tgt, val = _compact_rows_j(ctgt, cval, nval)
-    coeffs = _spread_rows_j(tgt, val, nout=nout)
+    # scatter placement: the doubling network at 1080p band sizes takes
+    # the XLA TPU backend tens of minutes to compile (measured: >15 min
+    # at nout=518400 vs 10.7s compile / <10 ms run for the scatter)
+    coeffs = spread_rows_scatter(tgt, val, nout=nout)
     return coeffs, covf.any(axis=-1)
 
 
@@ -609,3 +612,28 @@ def decode_payload(payload: jnp.ndarray,
 
 
 decode_payload_jit = jax.jit(decode_payload, static_argnames=("nout",))
+
+
+@partial(jax.jit, static_argnames=("nout",))
+def spread_rows_scatter(tgt, val, nout: int):
+    """spread_rows as ONE batched scatter instead of the high-bit-first
+    doubling network.  After compact_rows the valid slots form a prefix
+    with strictly increasing targets (unique indices); invalid slots are
+    redirected out of range and dropped.  The XLA TPU backend compiles
+    the 20-level doubling network at 1080p band sizes in tens of minutes
+    (the round-4 bench killer) while this scatter compiles in seconds;
+    runtime is gather/scatter-bound but the band decode is not the
+    dominant stage (measured on chip -- see bench detail)."""
+    *lead, s = tgt.shape
+    rows = int(np.prod(lead)) if lead else 1
+    tgt2 = tgt.reshape(rows, s)
+    val2 = val.reshape(rows, s)
+    safe = jnp.where(val2 != 0, tgt2, nout)            # drop invalid
+    flat = (jnp.arange(rows, dtype=jnp.int32)[:, None] * (nout + 1)
+            + safe).reshape(-1)
+    out = jnp.zeros(rows * (nout + 1), jnp.uint32)
+    out = out.at[flat].set(val2.reshape(-1), mode="drop",
+                           unique_indices=True)
+    out = out.reshape(rows, nout + 1)[:, :nout].reshape(*lead, nout)
+    out = out.astype(jnp.int32)
+    return (out << 16) >> 16                            # reinterpret int16

@@ -120,8 +120,12 @@ def main() -> None:
     # --- decode prep: identical to bench (same S buckets) --------------------
     t = time.monotonic()
     from cineform_tpu.models.intra_host import encode_sample as _henc
+    dec_base = np.frombuffer(yuy2_frame(w, h, 0),
+                             dtype=np.uint8).reshape(h, 2 * w)
+    dec_frames = np.stack([np.roll(dec_base, i, axis=0)
+                           for i in range(batch)])
     uniq = max(1, batch // 4)
-    samples = [_henc(np.ascontiguousarray(frames[i]).tobytes(), w, h,
+    samples = [_henc(np.ascontiguousarray(dec_frames[i]).tobytes(), w, h,
                      quality) for i in range(uniq)]
     samples = (samples * ((batch + uniq - 1) // uniq))[:batch]
     pays, nchs, qns, lins, lp, fb = codec._decode_rows_args(samples)
@@ -131,16 +135,45 @@ def main() -> None:
         log("WARNING: fallback frames present; bench would skip device decode")
         return
 
-    # --- the six decode class programs, one at a time ------------------------
+    # --- the six decode class programs, stage by stage -----------------------
+    from cineform_tpu.entropy import device_decode as dd
+
     for ci in range(len(codec._DECODE_CLASSES)):
-        t = time.monotonic()
-        co, ovf = codec._decode_class_program(pays[ci], nchs[ci], qns[ci],
-                                              lins[ci], ci)
-        jax.block_until_ready(co)
         k, planes = codec._DECODE_CLASSES[ci]
-        log(f"class {ci} (k={k} planes={planes} S={pays[ci].shape[-1]//4}) "
-            f"compiled+ran in {time.monotonic() - t:.1f}s "
-            f"ovf={np.asarray(ovf).any()}")
+        bh, bw, pitch = codec._class_dims(k, planes)
+        nout = bh * pitch
+        pay, nch, qn, lin = pays[ci], nchs[ci], qns[ci], lins[ci]
+        S = pay.shape[-1] // 4
+        t0 = time.monotonic()
+        packed = dd._classify_j(pay).reshape(*pay.shape[:-1], S, 32)
+        jax.block_until_ready(packed)
+        log(f"class {ci} S={S}: classify {time.monotonic() - t0:.1f}s")
+        t = time.monotonic()
+        exits, endm, cnt = dd._chunk_transfers_j(packed)
+        jax.block_until_ready(exits)
+        log(f"class {ci}: transfers {time.monotonic() - t:.1f}s")
+        t = time.monotonic()
+        entry, base = dd._scan_entries_rows_j(exits, endm, cnt)
+        jax.block_until_ready(entry)
+        log(f"class {ci}: scan {time.monotonic() - t:.1f}s")
+        t = time.monotonic()
+        act = dd._final_walk_j(packed, entry)
+        jax.block_until_ready(act)
+        log(f"class {ci}: walk {time.monotonic() - t:.1f}s")
+        t = time.monotonic()
+        ctgt, cval, nval, covf = dd._emit_rows(packed, act, base, nch,
+                                               qn, lin, nout)
+        jax.block_until_ready(ctgt)
+        log(f"class {ci}: emit {time.monotonic() - t:.1f}s")
+        t = time.monotonic()
+        tgt, val = dd._compact_rows_j(ctgt, cval, nval)
+        jax.block_until_ready(tgt)
+        log(f"class {ci}: compact {time.monotonic() - t:.1f}s")
+        t = time.monotonic()
+        co = dd._spread_rows_j(tgt, val, nout=nout)
+        jax.block_until_ready(co)
+        log(f"class {ci}: spread {time.monotonic() - t:.1f}s; "
+            f"total {time.monotonic() - t0:.1f}s")
 
     # --- the inverse + bench decode_step wrappers ----------------------------
     @jax.jit
