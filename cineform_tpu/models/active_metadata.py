@@ -114,6 +114,10 @@ def develop_params(sample: bytes,
         p.matrix = None
         p.saturation = 1.0
         p.exposure = 1.0
+        # NOTE: blur_sharpen survives a PRCS without the COLORMATRIX bit
+        # (the SDK defaults process_path_flags_mask so decoder.c:8697's
+        # zeroing does not engage) — pinned empirically: PRCS=1 and
+        # PRCS=3 BLSH decodes are byte-identical from the binary
     if not (p.flags & PROCESSING_LOOK_FILE):
         p.look_crc = 0
     if not (p.flags & PROCESSING_GAMMA_TWEAKS):

@@ -745,21 +745,32 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
     gamma_active = p.enabled and tuple(p.rgb_gamma) != (1.0, 1.0, 1.0)
     vignette_active = p.enabled and p.vignette_start != 0.0
-    if p.enabled and (np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3])
-                      or vignette_active):
-        # vignette engages the WP13 develop chain even with an identity
-        # matrix (the identity 1D-LUT roundtrip is not the identity)
+    sharpen_active = p.enabled and p.blur_sharpen != 0.0
+    matrix_active = bool(np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3]))
+    if p.enabled and (matrix_active or vignette_active or sharpen_active):
+        # vignette/sharpen engage the WP13 local-buffer chain even with
+        # an identity matrix; in that case the buffer is the RAW
+        # demosaic WP13 (rgb16 >> 3) — the identity matrix does NOT run
+        # the 1D-LUT develop roundtrip (pinned byte-exact both ways)
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
-        out13 = dm.apply_active_metadata_matrix(rgb16, m)
+        out13 = dm.apply_active_metadata_matrix(rgb16, m) \
+            if matrix_active else rgb16.astype(np.int64) >> 3
         if vignette_active:
             # the VGNS/VGNE tags are unity-1.0 GUI values; the decoder
             # state holds them MINUS ONE (`DemoasicFrames.cpp:5983`,
-            # decoder.c:7444 adds the 1 back); this path's WP13 basis
-            # sits one step above the direct-store chain's (pinned)
-            out13 = dm.fast_vignette_wp13(out13 + 1,
+            # decoder.c:7444 adds the 1 back); vignette runs first in
+            # the geometric pass (`decoder.c:7874`)
+            out13 = dm.fast_vignette_wp13(out13,
                                           p.vignette_start - 1.0,
                                           p.vignette_end - 1.0,
                                           p.vignette_gain)
+        if sharpen_active:
+            # BLSH is applied as TWO separable passes on the WP13 local
+            # buffer: the in-place integer horizontal FIR in the
+            # geometric pass (`decoder.c:7880`), then the float vertical
+            # FIR at output-conversion time (`decoder.c:8838`)
+            out13 = dm.fast_sharpening_blur_h_wp13(out13, p.blur_sharpen)
+            out13 = dm.fast_sharpening_blur_v_wp13(out13, p.blur_sharpen)
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     elif gamma_active:
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)

@@ -858,3 +858,265 @@ def fast_vignette_wp13(out13: np.ndarray, vgn_start: float, vgn_end: float,
             out[y, ring_cols] = np.sign(out[y, ring_cols]) * \
                 mag.astype(np.int64)
     return out
+
+
+def _sharpen_wp13_weights(sharpness: float) -> tuple[int, np.ndarray]:
+    """Per-row FIR size and weights for FastSharpeningBlurVWP13 at full
+    resolution, mono (taps=5, BLEND_NONE; `Codec/DemoasicFrames.cpp:1361`).
+
+    Returns (FIRsize, weights) where weights spans the FIR symmetrically:
+    FIRsize 5 -> [af, bf, cf, bf, af] over rows (y-2, y-1, y, y+1, y+2);
+    FIRsize 7 -> [af, bf*5.., af]; FIRsize 9 -> [af, bf*7.., af].  All
+    arithmetic float32, matching the C expressions exactly."""
+    f32 = np.float32
+    s = f32(sharpness)
+    if s >= 0:
+        s5 = s * f32(5.0)
+        diff = f32(s5 - f32(int(s5)))
+        adiff = f32(f32(1.0) - diff)
+        table = {
+            0: (f32(0.000) * adiff - f32(0.0625) * diff,
+                f32(0.000) * adiff + f32(0.2500) * diff,
+                f32(1.000) * adiff + f32(0.6250) * diff),
+            1: (f32(-0.0625) * adiff - f32(0.1250) * diff,
+                f32(0.2500) * adiff + f32(0.2500) * diff,
+                f32(0.6250) * adiff + f32(0.7500) * diff),
+            2: (f32(-0.1250) * adiff - f32(0.2500) * diff,
+                f32(0.2500) * adiff + f32(0.2500) * diff,
+                f32(0.7500) * adiff + f32(1.0000) * diff),
+            3: (f32(-0.2500) * adiff - f32(0.5000) * diff,
+                f32(0.2500) * adiff + f32(0.5000) * diff,
+                f32(1.0000) * adiff + f32(1.0000) * diff),
+            4: (f32(-0.5000) * adiff - f32(0.5000) * diff,
+                f32(0.5000) * adiff + f32(0.0000) * diff,
+                f32(1.0000) * adiff + f32(2.0000) * diff),
+            5: (f32(-0.5000), f32(0.0000), f32(2.0000)),
+        }
+        af, bf, cf = table[min(int(s5), 5)]
+        return 5, np.array([af, bf, cf, bf, af], f32)
+    # blur branch (sharpness < 0), taps == 5
+    s4 = -s * f32(4.0)
+    case = -1 + int(s * f32(4.0))
+    diff = f32(s4 - f32(int(s4)))
+    adiff = f32(f32(1.0) - diff)
+    if case <= -4:  # FIRsize 9 (case -5 sets diff=1 and falls through)
+        if case == -5:
+            diff = f32(1.0)
+        af = f32(f32(1.0) / f32(9.0) * diff)
+        bf = f32((f32(1.0) - af * f32(2.0)) / f32(7.0))
+        return 9, np.array([af] + [bf] * 7 + [af], f32)
+    if case == -3:  # FIRsize 7
+        af = f32(f32(1.0) / f32(7.0) * diff)
+        bf = f32((f32(1.0) - af * f32(2.0)) / f32(5.0))
+        return 7, np.array([af] + [bf] * 5 + [af], f32)
+    if case == -2:
+        af = f32(0.125) * diff
+        bf = f32(0.25) * adiff + f32(0.25) * diff
+        cf = f32(0.50) * adiff + f32(0.25) * diff
+    else:  # case -1 (default)
+        af = f32(0.0)
+        bf = f32(0.25) * diff
+        cf = f32(1.00) * adiff + f32(0.50) * diff
+    return 5, np.array([af, bf, cf, bf, af], f32)
+
+
+def fast_sharpening_blur_v_wp13(buf13: np.ndarray,
+                                sharpness: float) -> np.ndarray:
+    """FastSharpeningBlurVWP13 over a whole (H, W, 3) WP13 frame at full
+    resolution, mono decode (`Codec/DemoasicFrames.cpp:1361-2124`; call
+    site `decoder.c:8838`, default BLEND_NONE row setup `decoder.c:8739`).
+
+    Per output row y the decoder clamps the 5 base rows to the frame
+    (A=y-2 if y>=2 else y, B=y-1 if y>=1 else y, C=y, D/E mirror at the
+    bottom) and sets edgenear for y<=4 or y>=h-4 (which demotes the blur
+    FIR 7/9 to an equal-weight FIR 5).  The SSE kernel lifts int16 WP13
+    values into the high 16 bits (exact *65536 in float32), accumulates
+    the weighted taps in float32 in fixed order (A, +B, +C, +D, +E [,+
+    outer rows]), rounds to nearest-even (cvtps_epi32), >>16, saturates
+    to int16.  Lanes beyond (3*W) & ~7 are never written by the SSE loop
+    (callers here keep 3*W % 8 == 0)."""
+    f32 = np.float32
+    h, w, _ = buf13.shape
+    assert (3 * w) % 8 == 0, "model requires 3*W divisible by 8"
+    rows = buf13.reshape(h, 3 * w).astype(np.int32)
+    firsize, weights = _sharpen_wp13_weights(sharpness)
+    out = np.empty_like(rows)
+    eq5 = np.full(5, f32(0.2))
+    for y in range(h):
+        a_i = y - 2 if y >= 2 else y
+        b_i = y - 1 if y >= 1 else y
+        d_i = y + 1 if y < h - 1 else y
+        e_i = y + 2 if y < h - 2 else y
+        edgenear = (y <= 4) or (y >= h - 4)
+        fs, wts = firsize, weights
+        if fs in (7, 9) and edgenear:
+            fs, wts = 5, eq5
+        # accumulation ORDER matters (float32 is not associative): the
+        # SSE code starts from row A's product, then adds the outer rows
+        # (A2, A1), then B, C, D, E, then (E1, E2)
+        if fs == 5:
+            order = [(a_i, wts[0]), (b_i, wts[1]), (y, wts[2]),
+                     (d_i, wts[3]), (e_i, wts[4])]
+        elif fs == 7:
+            af, bf = wts[0], wts[1]
+            order = [(a_i, bf), (a_i - 1, af), (b_i, bf), (y, bf),
+                     (d_i, bf), (e_i, bf), (e_i + 1, af)]
+        else:  # 9
+            af, bf = wts[0], wts[1]
+            order = [(a_i, bf), (a_i - 2, af), (a_i - 1, bf), (b_i, bf),
+                     (y, bf), (d_i, bf), (e_i, bf), (e_i + 1, bf),
+                     (e_i + 2, af)]
+        # strict per-op float32 (cvtepi32_ps of v<<16 is exact):
+        # int32*f32 in numpy silently promotes to float64, which rounds
+        # differently at the 2^24 mantissa boundary
+        acc = rows[order[0][0]].astype(f32) * f32(65536.0) * order[0][1]
+        for ridx, wt in order[1:]:
+            acc = (acc + rows[ridx].astype(f32) * f32(65536.0) * wt
+                   ).astype(f32)
+        # cvtps_epi32: round-to-nearest-even on the float32 accumulator
+        q = np.rint(acc).astype(np.int64)
+        out[y] = np.clip(q >> 16, -32768, 32767)
+    return out.reshape(h, w, 3)
+
+
+def _sharpen_h_coeffs(sharpness: float) -> tuple[int, int, int, int]:
+    """(A, B, C, shift) for FastSharpeningBlurHinplaceWP13 at full
+    resolution (taps=5, pixelsize 6; `Codec/DemoasicFrames.cpp:996-1076`).
+    diff = (int)(256 * frac(sharpness*5)) for the positive branch."""
+    f32 = np.float32
+    s = f32(sharpness)
+    s5 = s * f32(5.0)
+    diff = int(f32(256.0) * f32(s5 - f32(int(s5))))
+    adiff = 256 - diff
+    case = int(s5)
+    table = {
+        -5: (2 * adiff + 2 * diff, 4 * adiff + 4 * diff,
+             4 * adiff + 4 * diff, 12),
+        -4: (2 * adiff + 2 * diff, 4 * adiff + 4 * diff,
+             4 * adiff + 4 * diff, 12),
+        -3: (0 * adiff + 2 * diff, 4 * adiff + 4 * diff,
+             8 * adiff + 4 * diff, 12),
+        -2: (0 * adiff + 2 * diff, 4 * adiff + 4 * diff,
+             8 * adiff + 4 * diff, 12),
+        -1: (0, 0 * adiff + 4 * diff, 16 * adiff + 8 * diff, 12),
+        0: (0 * adiff - 1 * diff, 0 * adiff + 4 * diff,
+            16 * adiff + 10 * diff, 12),
+        1: (-1 * adiff - 2 * diff, 4 * adiff + 4 * diff,
+            10 * adiff + 12 * diff, 12),
+        2: (-2 * adiff - 4 * diff, 4 * adiff + 4 * diff,
+            12 * adiff + 16 * diff, 12),
+        3: (-4 * adiff - 8 * diff, 4 * adiff + 8 * diff,
+            16 * adiff + 16 * diff, 12),
+        4: (-8 * adiff - 8 * diff, 8 * adiff + 0 * diff,
+            16 * adiff + 32 * diff, 12),
+        5: (-8, 0, 32, 4),
+    }
+    return table[max(-5, min(case, 5))]
+
+
+def fast_sharpening_blur_h_wp13(buf13: np.ndarray,
+                                sharpness: float) -> np.ndarray:
+    """FastSharpeningBlurHinplaceWP13 over a whole (H, W, 3) WP13 frame,
+    full resolution mono (`Codec/DemoasicFrames.cpp:555,980-1120`; call
+    site `decoder.c:7880`, the geometric/vignette pass).
+
+    Positive-branch semantics (the negative/blur cases with their own
+    row layouts share the same 5-tap inner loop for cases -1/-2):
+    - pixel 0 is copied through; pixel 1 becomes a 1-2-1 blur of the
+      ORIGINAL pixels 0..2 (computed before any clamping)
+    - the in-place loop clamps each pixel i+2 (i.e. pixels 4..W-1) to
+      >= 0 in the source BEFORE it is ever read as a filter tap
+    - out[i] = (p[i-2]*A + p[i-1]*B + p[i]*C + p[i+1]*B + p[i+2]*A)
+      >> shift (arithmetic, no saturation) for i in [2, W-2)
+    - pixel W-2 becomes a 1-2-1 blur of (clamped) pixels W-3..W-1;
+      pixel W-1 is the (clamped) copy."""
+    s = float(sharpness)
+    h, w, _ = buf13.shape
+    if s < 0.0:
+        return fast_sharpening_blur_h_wp13_neg(buf13, s)
+    A, B, C, shift = _sharpen_h_coeffs(s)
+    x = buf13.astype(np.int64)
+    first = x[:, 0].copy()
+    blur1 = (x[:, 0] + 2 * x[:, 1] + x[:, 2]) >> 2
+    xc = x.copy()
+    xc[:, 4:] = np.maximum(xc[:, 4:], 0)
+    out = xc.copy()
+    out[:, 0] = first
+    out[:, 1] = blur1
+    acc = (xc[:, 0:w - 4] * A + xc[:, 1:w - 3] * B + xc[:, 2:w - 2] * C
+           + xc[:, 3:w - 1] * B + xc[:, 4:w] * A)
+    out[:, 2:w - 2] = acc >> shift
+    out[:, w - 2] = (xc[:, w - 3] + 2 * xc[:, w - 2] + xc[:, w - 1]) >> 2
+    out[:, w - 1] = xc[:, w - 1]
+    return out
+
+
+def _blur_h_wp13_row(row: np.ndarray, sharpness: float) -> np.ndarray:
+    """Negative-sharpness FastSharpeningBlurHinplaceWP13 on one
+    interleaved RGB row (pixelsize 6, taps=5 full-res;
+    `Codec/DemoasicFrames.cpp:592-778`), faithful in-place simulation.
+
+    diff = (int)(256 * frac(-s*4)); case = -1 + (int)(s*4).  Cases
+    -1/-2 are 5-tap integer FIRs (margin 2); -3 is a 7-tap (margin 3,
+    A = 4096/7*diff/256, B = (4096-2A)/5); -4/-5 are 9-tap (margin 4,
+    A = 4096/9*diff/256, B = (4096-2A)/7; -5 forces diff=256).  The
+    trailing in-place write + shift-back-by-margin leaves the LEFT
+    margin pixels equal to the first filtered pixel and the RIGHT
+    (2*margin) pixels untouched."""
+    f32 = np.float32
+    s = f32(sharpness)
+    w = row.shape[0] // 3
+    x = row.astype(np.int64).copy()
+    p = x.reshape(w, 3)
+    diff = int(f32(256.0) * f32((-s) * f32(4.0)
+                                - f32(int((-s) * f32(4.0)))))
+    adiff = 256 - diff
+    case = -1 + int(s * f32(4.0))
+    out = p.copy()
+    if case <= -4:
+        if case <= -5:
+            diff = 256
+        margin, shift = 4, 12
+        A = 4096 // 9 * diff // 256
+        B = (4096 - A * 2) // 7
+        filt = (
+            (p[0:w - 8] + p[8:w]) * A
+            + (p[1:w - 7] + p[2:w - 6] + p[3:w - 5] + p[4:w - 4]
+               + p[5:w - 3] + p[6:w - 2] + p[7:w - 1]) * B) >> shift
+    elif case == -3:
+        margin, shift = 3, 12
+        A = 4096 // 7 * diff // 256
+        B = (4096 - A * 2) // 5
+        filt = (
+            (p[0:w - 6] + p[6:w]) * A
+            + (p[1:w - 5] + p[2:w - 4] + p[3:w - 3] + p[4:w - 2]
+               + p[5:w - 1]) * B) >> shift
+    else:
+        margin, shift = 2, 12
+        if case == -2:
+            A = 0 * adiff + 2 * diff
+            B = 4 * adiff + 4 * diff
+            C = 8 * adiff + 4 * diff
+        else:  # case -1 (default for tiny blurs)
+            A = 0
+            B = 0 * adiff + 4 * diff
+            C = 16 * adiff + 8 * diff
+        filt = (p[0:w - 4] * A + p[1:w - 3] * B + p[2:w - 2] * C
+                + p[3:w - 1] * B + p[4:w] * A) >> shift
+    # filt[k] is the FIR centred at pixel k+margin, for
+    # k in [0, w-2*margin); shift-back leaves:
+    #   out[margin .. w-2*margin-1] = FIR at the same pixel
+    #   out[0 .. margin-1]          = FIR at pixel `margin`
+    #   out[w-2*margin .. w-1]      = original pixels
+    out[margin:w - 2 * margin] = filt[:w - 3 * margin]
+    out[:margin] = filt[0]
+    return out.reshape(-1)
+
+
+def fast_sharpening_blur_h_wp13_neg(buf13: np.ndarray,
+                                    sharpness: float) -> np.ndarray:
+    """Negative-sharpness horizontal pass over a (H, W, 3) frame."""
+    h, w, _ = buf13.shape
+    rows = buf13.reshape(h, 3 * w)
+    out = np.stack([_blur_h_wp13_row(r, sharpness) for r in rows])
+    return out.reshape(h, w, 3)

@@ -163,23 +163,42 @@ def test_bayer_prcs_only_byte_exact():
         _golden("byr4_prcs1_96x64_q4.rg48out")
 
 
-def test_bayer_vignette_develop_pinned():
+def test_bayer_vignette_develop_byte_exact():
     """VGNS/VGNE/VGNG vignette (FastVignetteInplaceWP13,
-    `Codec/DemoasicFrames.cpp:421`; mono call `decoder.c:7874`): the
-    radial soft-ring gain model is exact — unity-minus-one tag mapping
-    (`DemoasicFrames.cpp:5983`), float32 xpos/ypos march, softstep Af,
-    sign*trunc(sqrtf(v*v*Af)) — applied on the identity-LUT WP13 chain
-    with this path's (v+1)<<3 store.  DOCUMENTED DEVIATION: the binary's
-    vignette path runs its threaded AM demosaic whose WP13 basis differs
-    from DemosaicRAW by a few steps at frame borders, so ring pixels may
-    differ by up to 4 WP13 steps (32 of 65535); >94% of bytes are exact
-    and the untouched center region is fully exact."""
-    import numpy as np
-
+    `Codec/DemoasicFrames.cpp:421`; mono call `decoder.c:7874`):
+    unity-minus-one tag mapping (`DemoasicFrames.cpp:5983`), float32
+    xpos/ypos march, softstep Af, sign*trunc(sqrtf(v*v*Af)) — BYTE-EXACT
+    on the identity-matrix WP13 local-buffer chain, whose basis is the
+    RAW demosaic WP13 (rgb16 >> 3): with an identity matrix the binary
+    does NOT run the 1D-LUT develop roundtrip (this closes the round-4
+    'documented deviation', which came from modeling the buffer as the
+    identity-LUT roundtrip + 1)."""
     sample = _golden("byr4_vgn_96x64_q4.cfhd")
-    gold = np.frombuffer(_golden("byr4_vgn_96x64_q4.rg48out"), "<u2")
-    mine = np.frombuffer(
-        intra_host.decode_sample_bayer_to(sample, "RG48"), "<u2")
-    d = np.abs(mine.astype(int) - gold.astype(int))
-    assert (d == 0).mean() > 0.94
-    assert d.max() <= 32
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_vgn_96x64_q4.rg48out")
+
+
+def test_bayer_blur_sharpen_develop_byte_exact():
+    """BLSH blur/sharpen is TWO separable passes over the WP13
+    local-buffer chain, both byte-exact:
+
+    - horizontal: FastSharpeningBlurHinplaceWP13 in the geometric pass
+      (`decoder.c:7880`, `Codec/DemoasicFrames.cpp:555`): integer 5-tap
+      (positive and blur cases -1/-2) or 7/9-tap (cases -3/-4/-5) FIR
+      >>12, with the in-place trailing-write layout (left margin pixels
+      become the first filtered pixel, the right 2*margin stay raw), the
+      1-2-1 edge blur, and the progressive >=0 clamp of pixels 4..W-1
+    - vertical: FastSharpeningBlurVWP13 at output-conversion time
+      (`decoder.c:8838`, `DemoasicFrames.cpp:1361`): float32 5-tap
+      (or 7/9-tap blur with the edgenear equal-weight fallback), values
+      lifted <<16, strict per-op float32 accumulation in the SSE order,
+      cvtps_epi32 round-to-nearest-even, >>16, saturate
+
+    Pinned standalone (positive + all negative cases), combined with a
+    COLM matrix (buffer = the 1D-LUT develop output) and combined with
+    vignette (vignette first, then H, then V)."""
+    for g in ("byr4_blsh05", "byr4_blshm05", "byr4_blshm10",
+              "byr4_colm_blsh", "byr4_vgn_blsh"):
+        sample = _golden(f"{g}_96x64_q4.cfhd")
+        assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+            _golden(f"{g}_96x64_q4.rg48out"), g
