@@ -86,7 +86,7 @@ def develop_params(sample: bytes,
             p.exposure = float(np.clip(_floats(item, 1)[0], 0.0, 11.0))
         elif tag == "UTYM" and _u32(item):
             p.matrix = None                  # unity matrix bypasses COLM
-        elif tag == "LKCR":
+        elif tag == "LCRC":      # TAG_LOOK_CRC (CFHDMetadataTags.h:213)
             p.look_crc = _u32(item)
         elif tag == "VGNS" and len(item.payload) >= 4:
             p.vignette_start = float(_floats(item, 1)[0])
@@ -239,3 +239,27 @@ def develop_params_at(sample: bytes, frame: int,
         if 0.2 <= g <= 5.0:
             base.gamma = g
     return base
+
+
+def resolve_look(crc: int) -> tuple["np.ndarray | None", int]:
+    """Resolve a TAG_LOOK_CRC to a flat (size^3, 3) float32 LUT in the
+    reference's (b*size^2 + g*size + r) raster order.
+
+    The built-in Protune preview look (CRC 0x3f6f5788,
+    `Codec/DemoasicFrames.cpp:5017`) needs no file; other CRCs resolve
+    to <LUTsPath>/<CRC8X>.cflook like `DemoasicFrames.cpp:5101`, with
+    LUTsPath from $HOME/.cineform/dbsettings (LUTPath keyword,
+    `Codec/lutpath.cpp:130-185`) or $HOME/.cineform/LUTs."""
+    import numpy as np
+    from cineform_tpu.ref import demosaic as dm
+
+    if crc == dm.PROTUNE_LOOK_CRC:
+        return dm.protune_look_lut()
+    from cineform_tpu.utils import lutpath
+    db = lutpath.LookDatabase(lutpath.default_lut_dir())
+    look = db.load(crc)
+    if look is None:
+        return None, 0
+    size = look.size
+    lut = np.asarray(look.lut, np.float32).reshape(-1, 3)
+    return lut, size

@@ -747,6 +747,27 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     vignette_active = p.enabled and p.vignette_start != 0.0
     sharpen_active = p.enabled and p.blur_sharpen != 0.0
     matrix_active = bool(np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3]))
+    look_active = bool(p.enabled and (p.flags & am.PROCESSING_LOOK_FILE)
+                       and p.look_crc)
+    if look_active and not (matrix_active or vignette_active
+                            or sharpen_active or gamma_active):
+        # LOOK 3D-LUT with an otherwise-identity develop: BuildCube
+        # samples the LUT on the 65^3 lattice (change==0 branch,
+        # `Codec/bayer.c:4720/4978`), TestCubeFor1Dness detects
+        # separable cubes, and the RAW decode applies the cube on the
+        # full 16-bit demosaic output (`bayer.c:8350`).  Pinned
+        # byte-exact vs the binary for the built-in Protune preview
+        # look (CRC 0x3f6f5788) and .cflook-file looks.
+        lut, lutsize = am.resolve_look(p.look_crc)
+        if lut is not None:
+            rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
+            cube = dm.build_raw_cube(lut, lutsize)
+            if dm.cube_is_separable(cube):
+                out13 = dm.apply_raw_cube_rgb16_1d(rgb16, cube)
+            else:
+                out13 = dm.apply_raw_cube_rgb16_trilinear(rgb16, cube)
+            rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
+            return _pack_bayer_rgb(rgb, fourcc)
     if p.enabled and (matrix_active or vignette_active or sharpen_active):
         # vignette/sharpen engage the WP13 local-buffer chain even with
         # an identity matrix; in that case the buffer is the RAW
@@ -778,6 +799,10 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     else:
         rgb = dm.demosaic_raw_rg48(G, RG, BG, GD)
+    return _pack_bayer_rgb(rgb, fourcc)
+
+
+def _pack_bayer_rgb(rgb: np.ndarray, fourcc: str) -> bytes:
     if fourcc == "RG48":
         return rgb.astype("<u2").tobytes()
     # Bayer-source b64a is stored LITTLE-endian ARGB16 (unlike the

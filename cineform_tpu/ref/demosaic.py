@@ -1120,3 +1120,177 @@ def fast_sharpening_blur_h_wp13_neg(buf13: np.ndarray,
     rows = buf13.reshape(h, 3 * w)
     out = np.stack([_blur_h_wp13_row(r, sharpness) for r in rows])
     return out.reshape(h, w, 3)
+
+
+# Protune preview 1D curve, built into the decoder for LOOK CRC
+# 0x3f6f5788 (`Codec/DemoasicFrames.cpp:5017-5092`): expanded to a
+# separable 32^3 float LUT with entry (b,g,r) -> (curve[b],curve[g],
+# curve[r]) in the build order, which the (b*32^2+g*32+r) reader then
+# sees as out_c = curve[coord_c].
+PROTUNE_LOOK_CRC = 0x3F6F5788
+_PROTUNE_CURVE = np.array([
+    0.000000, 0.002565, 0.010235, 0.022930, 0.040521, 0.062827,
+    0.089618, 0.120621, 0.155517, 0.193947, 0.235518, 0.279803,
+    0.326347, 0.374674, 0.424286, 0.474675, 0.525325, 0.575714,
+    0.625326, 0.673653, 0.720197, 0.764482, 0.806053, 0.844483,
+    0.879379, 0.910382, 0.937173, 0.959479, 0.977070, 0.989765,
+    0.997435, 1.000000], np.float32)
+
+
+def protune_look_lut() -> tuple[np.ndarray, int]:
+    """(LUT, size): float32 (size^3, 3) array indexed
+    (b*size^2 + g*size + r) like LoadCube64_3DLUT's flat layout."""
+    size = 32
+    c = _PROTUNE_CURVE
+    # build order r,g,b with entries (curve[b], curve[g], curve[r]);
+    # flat index r*size^2 + g*size + b
+    lut = np.empty((size, size, size, 3), np.float32)
+    r = np.arange(size)
+    lut[..., 0] = c[r][None, None, :]            # reader's red = curve[r]
+    lut[..., 1] = c[r][None, :, None]            # green = curve[g]
+    lut[..., 2] = c[r][:, None, None]            # blue = curve[b]
+    # reader indexes (b,g,r) over the builder's (r,g,b) loops; for this
+    # separable fill both orders agree, so store in reader order (b,g,r)
+    return lut.reshape(-1, 3), size
+
+
+def build_raw_cube(lut: np.ndarray, lutsize: int,
+                   cube_base: int = 6) -> np.ndarray:
+    """BuildCube for the no-develop-change case (`Codec/bayer.c:4720`,
+    `change == 0` branch): lattice coords rf = r/cube_depth (float32),
+    trilinear float sample of the look LUT (LUTscale = size-1-1e-5,
+    truncated source index, mix clamped to [-1, 4]), scaled by 8192.0f
+    and truncated to int16.  Returns ((depth+1)^3, 3) int16 in
+    (b, g, r) raster order (stride depth+1)."""
+    f32 = np.float32
+    depth = 1 << cube_base
+    n = depth + 1
+    coord = (np.arange(n, dtype=np.int32).astype(f32) / f32(depth))
+    scale = f32(f32(lutsize - 1) - f32(0.00001))
+    s = coord * scale
+    src = s.astype(np.int32)
+    src = np.clip(src, 0, lutsize - 2)
+    mix = np.clip(s - src.astype(f32), f32(-1.0), f32(4.0))
+    b_i, g_i, r_i = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                                indexing='ij')
+    rs, gs, bs = src[r_i], src[g_i], src[b_i]
+    rm, gm, bm = mix[r_i], mix[g_i], mix[b_i]
+    L = lut.reshape(lutsize, lutsize, lutsize, 3)
+
+    def at(db, dg, dr):
+        return L[bs + db, gs + dg, rs + dr]
+
+    rm = rm[..., None]
+    gm = gm[..., None]
+    bm = bm[..., None]
+    one = f32(1.0)
+    val = (((at(0, 0, 0) * (one - rm) + at(0, 0, 1) * rm) * (one - gm)
+            + (at(0, 1, 0) * (one - rm) + at(0, 1, 1) * rm) * gm)
+           * (one - bm)
+           + ((at(1, 0, 0) * (one - rm) + at(1, 0, 1) * rm) * (one - gm)
+              + (at(1, 1, 0) * (one - rm) + at(1, 1, 1) * rm) * gm) * bm
+           ).astype(f32)
+    q = np.trunc(val * f32(8192.0)).astype(np.int64)
+    return np.clip(q, -32768, 32767).astype(np.int16).reshape(-1, 3)
+
+
+def apply_raw_cube_wp13(buf13: np.ndarray, cube: np.ndarray,
+                        cube_base: int = 6) -> np.ndarray:
+    """ApplyActiveMetaData's RawCube integer trilinear on signed 13-bit
+    WP13 values (`Codec/bayer.c:7849-7930`): v16 = clip(v13 << 3,
+    0, 65535); idx = v16 >> (16-base), mix = low bits; nested integer
+    lerps with an arithmetic >> (16-base) after every stage."""
+    depth = (1 << cube_base) + 1
+    shift = 16 - cube_base
+    mask = (1 << shift) - 1
+    c = cube.reshape(depth, depth, depth, 3).astype(np.int64)
+    v16 = np.clip(buf13.astype(np.int64) << 3, 0, 65535)
+    mix = v16 & mask
+    idx = v16 >> shift
+    mixd = mask + 1 - mix
+    ri, gi, bi = idx[..., 0], idx[..., 1], idx[..., 2]
+    rm, gm, bm = mix[..., 0], mix[..., 1], mix[..., 2]
+    rmd, gmd, bmd = mixd[..., 0], mixd[..., 1], mixd[..., 2]
+    out = np.empty_like(buf13, dtype=np.int64)
+    for ch in range(3):
+        def at(db, dg, dr):
+            return c[bi + db, gi + dg, ri + dr, ch]
+        lo = ((((at(0, 0, 0) * rmd + at(0, 0, 1) * rm) >> shift) * gmd
+               + ((at(0, 1, 0) * rmd + at(0, 1, 1) * rm) >> shift) * gm)
+              >> shift)
+        hi = ((((at(1, 0, 0) * rmd + at(1, 0, 1) * rm) >> shift) * gmd
+               + ((at(1, 1, 0) * rmd + at(1, 1, 1) * rm) >> shift) * gm)
+              >> shift)
+        out[..., ch] = (lo * bmd + hi * bm) >> shift
+    return out
+
+
+def apply_raw_cube_rgb16_1d(rgb16: np.ndarray, cube: np.ndarray,
+                            cube_base: int = 6) -> np.ndarray:
+    """ApplyActiveMetaData's RawCubeThree1Ds fast path for RAW decodes
+    (`Codec/bayer.c:8350-8430`, interleaved 16-bit input): when
+    TestCubeFor1Dness finds the cube separable, each channel is a 1D
+    lerp between the cell entry and the all-dims+1 diagonal entry with
+    a SINGLE >> (16-base): idx = v16 >> 10, mix = v16 & 0x3ff,
+    out13_c = (cube[b,g,r][c]*(1024-mix_c) + cube[b+1,g+1,r+1][c]*mix_c)
+    >> 10."""
+    depth = (1 << cube_base) + 1
+    shift = 16 - cube_base
+    mask = (1 << shift) - 1
+    c = cube.reshape(depth, depth, depth, 3).astype(np.int64)
+    v = rgb16.astype(np.int64)
+    mix = v & mask
+    idx = v >> shift
+    mixd = (mask + 1) - mix
+    ri, gi, bi = idx[..., 0], idx[..., 1], idx[..., 2]
+    lo = c[bi, gi, ri]            # (..., 3)
+    hi = c[bi + 1, gi + 1, ri + 1]
+    return (lo * mixd + hi * mix) >> shift
+
+
+def cube_is_separable(cube: np.ndarray, cube_base: int = 6) -> bool:
+    """TestCubeFor1Dness (`Codec/bayer.c:5555`): the cube is treated as
+    three 1D curves when, over all interior cells, the red channel is
+    constant along g/b, green along r/b, and blue along r/g."""
+    depth = (1 << cube_base) + 1
+    c = cube.reshape(depth, depth, depth, 3)
+    r_ok = (c[:-1, :-1, :-1, 0] == c[:-1, 1:, :-1, 0]).all() and \
+           (c[:-1, :-1, :-1, 0] == c[1:, :-1, :-1, 0]).all() and \
+           (c[:-1, :-1, :-1, 0] == c[1:, 1:, :-1, 0]).all()
+    g_ok = (c[:-1, :-1, :-1, 1] == c[:-1, :-1, 1:, 1]).all() and \
+           (c[:-1, :-1, :-1, 1] == c[1:, :-1, :-1, 1]).all() and \
+           (c[:-1, :-1, :-1, 1] == c[1:, :-1, 1:, 1]).all()
+    b_ok = (c[:-1, :-1, :-1, 2] == c[:-1, :-1, 1:, 2]).all() and \
+           (c[:-1, :-1, :-1, 2] == c[:-1, 1:, :-1, 2]).all() and \
+           (c[:-1, :-1, :-1, 2] == c[:-1, 1:, 1:, 2]).all()
+    return bool(r_ok and g_ok and b_ok)
+
+
+def apply_raw_cube_rgb16_trilinear(rgb16: np.ndarray, cube: np.ndarray,
+                                   cube_base: int = 6) -> np.ndarray:
+    """Non-separable RawCube apply on interleaved 16-bit RAW-decode
+    input (`Codec/bayer.c:8440+`): full integer trilinear with an
+    arithmetic >> (16-base) after every lerp stage."""
+    depth = (1 << cube_base) + 1
+    shift = 16 - cube_base
+    mask = (1 << shift) - 1
+    c = cube.reshape(depth, depth, depth, 3).astype(np.int64)
+    v = rgb16.astype(np.int64)
+    mix = v & mask
+    idx = v >> shift
+    mixd = mask + 1 - mix
+    ri, gi, bi = idx[..., 0], idx[..., 1], idx[..., 2]
+    rm, gm, bm = mix[..., 0], mix[..., 1], mix[..., 2]
+    rmd, gmd, bmd = mixd[..., 0], mixd[..., 1], mixd[..., 2]
+    out = np.empty(v.shape, dtype=np.int64)
+    for ch in range(3):
+        def at(db, dg, dr):
+            return c[bi + db, gi + dg, ri + dr, ch]
+        lo = ((((at(0, 0, 0) * rmd + at(0, 0, 1) * rm) >> shift) * gmd
+               + ((at(0, 1, 0) * rmd + at(0, 1, 1) * rm) >> shift) * gm)
+              >> shift)
+        hi = ((((at(1, 0, 0) * rmd + at(1, 0, 1) * rm) >> shift) * gmd
+               + ((at(1, 1, 0) * rmd + at(1, 1, 1) * rm) >> shift) * gm)
+              >> shift)
+        out[..., ch] = (lo * bmd + hi * bm) >> shift
+    return out

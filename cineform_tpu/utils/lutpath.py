@@ -115,3 +115,32 @@ class LookDatabase:
             return rgb
         from cineform_tpu.ops.develop import apply_lut3d
         return apply_lut3d(rgb, look.lut)
+
+
+def default_lut_dir() -> str:
+    """The decoder's LUTs directory: <LUTPath>/LUTs with LUTPath from
+    $HOME/.cineform/dbsettings (`Codec/lutpath.cpp:130-233`; the
+    reference appends "/LUTs" to the configured base), else
+    $HOME/.cineform/LUTs.
+
+    NOTE: the reference's prefs scanner does not NUL-terminate the
+    parsed path over the compiled-in default "/var/cineform/public"
+    (20 chars), so bases SHORTER than 20 characters are corrupted by
+    the binary (e.g. "/root/.cineform" reads back as
+    "/root/.cineformublic"); use a base of at least 20 characters for
+    interop with the reference decoder."""
+    home = os.environ.get("HOME", ".")
+    prefs = os.path.join(home, ".cineform", "dbsettings")
+    try:
+        with open(prefs, "r", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("#"):
+                    continue
+                if line.startswith("LUTPath"):
+                    val = line[len("LUTPath"):].strip().strip('"').strip()
+                    if val:
+                        return os.path.join(val, "LUTs")
+    except OSError:
+        pass
+    return os.path.join(home, ".cineform", "LUTs")

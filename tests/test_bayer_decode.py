@@ -202,3 +202,38 @@ def test_bayer_blur_sharpen_develop_byte_exact():
         sample = _golden(f"{g}_96x64_q4.cfhd")
         assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
             _golden(f"{g}_96x64_q4.rg48out"), g
+
+
+def test_bayer_look_lut_protune_byte_exact():
+    """LOOK 3D-LUT develop (LCRC tag): the built-in Protune preview
+    look (CRC 0x3f6f5788, `Codec/DemoasicFrames.cpp:5017`) expands to a
+    separable 32^3 LUT; BuildCube samples it on a 65^3 lattice
+    (change==0 branch, `Codec/bayer.c:4978`: float32 trilinear with
+    LUTscale = size-1-1e-5, trunc(rf*8192) to int16), TestCubeFor1Dness
+    detects separability, and the RAW decode applies the cube as three
+    1D lerps on the full 16-bit demosaic output with a single >>10
+    (`bayer.c:8350`).  Byte-exact vs the binary."""
+    sample = _golden("byr4_look_protune_96x64_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_look_protune_96x64_q4.rg48out")
+
+
+def test_bayer_look_lut_cflook_file_byte_exact(monkeypatch, tmp_path):
+    """File-based .cflook look via the LUTs database: a NON-separable
+    16^3 LUT resolved as <LUTsPath>/<CRC8X>.cflook
+    (`DemoasicFrames.cpp:5101`), applied through the full integer
+    trilinear RawCube path (`bayer.c:8440`).  Byte-exact vs the binary
+    (which read the same .cflook through its dbsettings LUTPath)."""
+    import shutil
+
+    from cineform_tpu.utils import lutpath
+
+    lut_dir = tmp_path / "LUTs"
+    lut_dir.mkdir()
+    shutil.copy(
+        os.path.join(HERE, "golden", "samples", "DEADBEEF.cflook"),
+        lut_dir / "DEADBEEF.cflook")
+    monkeypatch.setattr(lutpath, "default_lut_dir", lambda: str(lut_dir))
+    sample = _golden("byr4_look_cflook_96x64_q4.cfhd")
+    assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+        _golden("byr4_look_cflook_96x64_q4.rg48out")
