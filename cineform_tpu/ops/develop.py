@@ -216,3 +216,45 @@ def develop(g, rg, bg, dg, *, wb=(1.0, 1.0, 1.0), matrix=None, lut=None,
     rgb = vignette(rgb, vignette_strength)
     rgb = sharpen(rgb, sharpen_amount)
     return jnp.clip(rgb, 0.0, 1.0)
+
+
+def tools_scopes_wp13(rgb13: jnp.ndarray):
+    """HistogramLine's WP13 tools collection, integer-exact
+    (`Codec/decoder.c:6314-6400`; dispatched from PaintFrame ->
+    DoHistogramWork, which the open-source release compiles OUT —
+    `Codec/config.h:29` sets _GRAPHICS 0 — so this data path is spec
+    dead code in the binary; re-expressed here as the live scopes
+    backend, validated by a scalar unit-test oracle):
+
+    - column step doubles until width/step <= 360 (waveformWidth)
+    - R/G/B = clip(v13 >> 5, 0, 255); histR/G/B and per-column
+      waveR/G/B counters
+    - vectorscope U/V via the integer matrices
+      U = ((-827R - 2769G + 3596B) >> 13) + 128,
+      V = ((3596R - 3269G - 328B) >> 13) + 128 (clamped to [0,255]),
+      accumulated into scopeUV[U][V]
+
+    Returns (hist (3,256) i32, wave (wfw,3,256) i32,
+    scope (256,256) i32, waveform_width)."""
+    h, w, _ = rgb13.shape
+    step = 1
+    while w // step > 360:
+        step *= 2
+    wfw = w // step
+    cols = jnp.arange(wfw) * step
+    v = rgb13[:, cols, :].astype(jnp.int32)
+    rgb8 = jnp.clip(v >> 5, 0, 255)
+    r8, g8, b8 = rgb8[..., 0], rgb8[..., 1], rgb8[..., 2]
+    hist = jnp.stack([
+        jnp.zeros(256, jnp.int32).at[c.ravel()].add(1)
+        for c in (r8, g8, b8)])
+    pos = jnp.broadcast_to(jnp.arange(wfw)[None, :], r8.shape)
+    wave = jnp.stack([
+        jnp.zeros(wfw * 256, jnp.int32)
+        .at[(pos * 256 + c).ravel()].add(1).reshape(wfw, 256)
+        for c in (r8, g8, b8)], axis=1)
+    u = jnp.clip(((-827 * r8 - 2769 * g8 + 3596 * b8) >> 13) + 128, 0, 255)
+    vv = jnp.clip(((3596 * r8 - 3269 * g8 - 328 * b8) >> 13) + 128, 0, 255)
+    scope = jnp.zeros(256 * 256, jnp.int32).at[
+        (u * 256 + vv).ravel()].add(1).reshape(256, 256)
+    return hist, wave, scope, wfw

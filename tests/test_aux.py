@@ -183,3 +183,43 @@ def test_overlay_grid_subtitle_logo():
     if opaque.any():
         ys, xs = np.nonzero(opaque)
         assert (out[4 + ys[0], 4 + xs[0]] == img[ys[0], xs[0], :3]).all()
+
+
+def test_tools_scopes_wp13_integer_exact():
+    """tools_scopes_wp13 matches HistogramLine's WP13 integer math
+    (`Codec/decoder.c:6314-6400`) against a direct scalar
+    re-computation.  NOTE ON PARITY SCOPE: the reference release ships
+    with _GRAPHICS 0 (`Codec/config.h:29`), compiling out PaintFrame /
+    DoHistogramWork / draw.c entirely, so the binary can neither render
+    burn-ins nor collect scopes — pixel goldens are impossible against
+    it and this whole subsystem is a functional superset here.  The
+    collection math is pinned to the source spec instead."""
+    import numpy as np
+
+    from cineform_tpu.ops.develop import tools_scopes_wp13
+
+    rng = np.random.default_rng(7)
+    h, w = 16, 720          # forces step=2, waveformWidth=360
+    rgb13 = rng.integers(-200, 8400, size=(h, w, 3), dtype=np.int32)
+    hist, wave, scope, wfw = tools_scopes_wp13(rgb13)
+    assert wfw == 360
+    ehist = np.zeros((3, 256), np.int64)
+    ewave = np.zeros((360, 3, 256), np.int64)
+    escope = np.zeros((256, 256), np.int64)
+    for y in range(h):
+        for pos in range(360):
+            x = pos * 2
+            c8 = [min(max(int(rgb13[y, x, c]) >> 5, 0), 255)
+                  for c in range(3)]
+            for c in range(3):
+                ehist[c][c8[c]] += 1
+                ewave[pos][c][c8[c]] += 1
+            R, G, B = c8
+            U = ((-827 * R - 2769 * G + 3596 * B) >> 13) + 128
+            V = ((3596 * R - 3269 * G - 328 * B) >> 13) + 128
+            U = min(max(U, 0), 255)
+            V = min(max(V, 0), 255)
+            escope[U][V] += 1
+    assert (np.asarray(hist) == ehist).all()
+    assert (np.asarray(wave) == ewave).all()
+    assert (np.asarray(scope) == escope).all()

@@ -19,6 +19,7 @@ def host_band_bytes(band: np.ndarray, codeset: int) -> bytes:
     return ehost.pack_msb_first(bits, sizes, align=32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("case_idx", range(len(CASES)))
 def test_device_matches_reference_golden_streams(case_idx):
     hdr, golden = CASES[case_idx]
@@ -33,6 +34,7 @@ def test_device_matches_reference_golden_streams(case_idx):
     "sparse", "dense", "allzero", "allnz", "giant_runs", "clamped",
     "tail_run", "single", "runs_324", "alternating",
 ])
+@pytest.mark.slow
 def test_device_matches_host(codeset, case):
     rng = np.random.default_rng(hash((codeset, case)) & 0xFFFF)
     n = 3000
@@ -75,6 +77,7 @@ def test_device_matches_host(codeset, case):
     assert mine == host_band_bytes(band, codeset), case
 
 
+@pytest.mark.slow
 def test_device_batched_consistency():
     """Batched (S, N) encode gives the same words/lengths as row-by-row."""
     import jax.numpy as jnp

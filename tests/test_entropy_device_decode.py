@@ -61,6 +61,7 @@ def _host_ref(p, n, cs, q):
     return (want.astype(np.int32) << 16) >> 16   # DeQuantFSM int16 wrap
 
 
+@pytest.mark.slow
 def test_multi_band_payload_bit_exact():
     rng = np.random.default_rng(5)
     bands = []

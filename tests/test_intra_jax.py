@@ -65,6 +65,7 @@ def test_jax_roundtrip_psnr():
     assert psnr > 40.0, psnr
 
 
+@pytest.mark.slow
 def test_device_entropy_samples_byte_exact():
     """encode_batch_device (transform + quant + entropy pack all on device)
     produces samples byte-identical to the host oracle and the reference
@@ -104,6 +105,7 @@ def test_device_entropy_samples_byte_exact():
 
 @pytest.mark.parametrize("fmt,pixfmt", [
     ("UYVY", "UYVY"), ("YU64", "YU64"), ("V210", "V210")])
+@pytest.mark.slow
 def test_device_unpack_formats_match_sync_encoder(fmt, pixfmt):
     """IntraCodec's device unpack kernels (ops/intra_transform.unpack_*)
     produce samples byte-identical to the synchronous host Encoder for
@@ -159,6 +161,7 @@ def test_device_decode_multiframe_dither():
     ("RG64", "raw_RG64.cfhd"),
     ("BYR5", "raw_BYR5.cfhd"),
 ])
+@pytest.mark.slow
 def test_device_rgb_bayer_encode_byte_exact(fmt, golden):
     """RGB 4:4:4 / RGBA 4:4:4:4 / Bayer encode fully on device
     (unpack kernels in ops/intra_transform + 12-bit transform + device

@@ -3,6 +3,7 @@
 Behavioral spec: `EncoderSDK/EncoderPool.cpp:239-382`.
 """
 
+import pytest
 import numpy as np
 
 from cineform_tpu import api
@@ -10,6 +11,7 @@ from cineform_tpu.models import intra_host
 from cineform_tpu.utils.testframes import yuy2_frame
 
 
+@pytest.mark.slow
 def test_pool_in_order_delivery_and_determinism():
     w, h, n = 320, 240, 12
     pool = api.CFHD_CreateEncoderPool(thread_count=4, queue_length=6)
@@ -70,6 +72,8 @@ def test_pool_all_advertised_formats_encode():
             api.PixelFormat.B64A: 8 * w, api.PixelFormat.RG64: 8 * w,
             api.PixelFormat.BGRA: 4 * w, api.PixelFormat.RG24: 3 * w,
             api.PixelFormat.BYR4: 2 * w, api.PixelFormat.BYR5: 3 * w // 2,
+            api.PixelFormat.CT_UCHAR: 2 * w,
+            api.PixelFormat.CT_10BIT_2_8: 5 * w // 2,
         }.get(pf, 4 * w)
         frame = rng.integers(0, 256, size=h * row_bytes, dtype=np.uint8)
         frame = frame.tobytes()
@@ -89,6 +93,7 @@ def test_pool_all_advertised_formats_encode():
         assert buf.get_encoded_sample() == ref, pf
 
 
+@pytest.mark.slow
 def test_pool_wait_blocks_for_next_submission():
     """CFHD_WaitForSample on an empty queue blocks for the next submitted
     sample instead of raising (`EncoderPool.cpp:297`)."""
@@ -206,6 +211,7 @@ def test_pool_shards_batch_over_mesh():
     assert got == want
 
 
+@pytest.mark.slow
 def test_pool_device_rgb_matches_sync():
     """RG48 (12-bit RGB 4:4:4) runs through the device batcher and matches
     the sync encoder byte for byte (round-4 device format fan-out)."""
@@ -233,6 +239,7 @@ def test_pool_device_rgb_matches_sync():
     assert got == want
 
 
+@pytest.mark.slow
 def test_decoder_pool_in_order_and_byte_identical():
     """DecoderPool: in-order delivery, byte-identical to the synchronous
     host decoder, with the parse stage pipelined ahead of the device
@@ -272,6 +279,7 @@ def test_decoder_pool_in_order_and_byte_identical():
         assert buf.data.tobytes() == want.tobytes(), f"frame {i}"
 
 
+@pytest.mark.slow
 def test_decoder_pool_fallback_mixed_batch():
     """Samples the device path rejects (wrong dimensions) decode through
     the host fallback inside the same pipeline, in order."""
