@@ -170,9 +170,12 @@ def main() -> None:
         jax.block_until_ready(tgt)
         log(f"class {ci}: compact {time.monotonic() - t:.1f}s")
         t = time.monotonic()
-        co = dd._spread_rows_j(tgt, val, nout=nout)
+        # scatter-based placement: what decode_band_rows_staged actually
+        # runs now (the old _spread_rows_j doubling network compiles for
+        # tens of minutes at 1080p band sizes and is no longer used)
+        co = dd.spread_rows_scatter(tgt, val, nout=nout)
         jax.block_until_ready(co)
-        log(f"class {ci}: spread {time.monotonic() - t:.1f}s; "
+        log(f"class {ci}: place {time.monotonic() - t:.1f}s; "
             f"total {time.monotonic() - t0:.1f}s")
 
     # --- the inverse + bench decode_step wrappers ----------------------------
