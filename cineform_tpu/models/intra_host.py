@@ -749,23 +749,40 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     matrix_active = bool(np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3]))
     look_active = bool(p.enabled and (p.flags & am.PROCESSING_LOOK_FILE)
                        and p.look_crc)
-    if look_active and not (matrix_active or vignette_active
-                            or sharpen_active or gamma_active):
-        # LOOK 3D-LUT with an otherwise-identity develop: BuildCube
-        # samples the LUT on the 65^3 lattice (change==0 branch,
-        # `Codec/bayer.c:4720/4978`), TestCubeFor1Dness detects
-        # separable cubes, and the RAW decode applies the cube on the
-        # full 16-bit demosaic output (`bayer.c:8350`).  Pinned
-        # byte-exact vs the binary for the built-in Protune preview
-        # look (CRC 0x3f6f5788) and .cflook-file looks.
+    if look_active:
+        # LOOK 3D-LUT develop (pinned byte-exact vs the binary for the
+        # built-in Protune preview look, CRC 0x3f6f5788, and .cflook
+        # files): the WHOLE develop folds into one RawCube —
+        # BuildCube's change==0 branch samples the LUT on the 65^3
+        # lattice when everything else is unity (`Codec/bayer.c:4978`),
+        # otherwise the change==1 branch composes curves + matrix +
+        # gamma tweaks + LUT (`bayer.c:4768-4977`).  TestCubeFor1Dness
+        # picks the separable fast apply; the RAW decode applies the
+        # cube on the full 16-bit demosaic output (`bayer.c:8350`),
+        # then the geometric/sharpen passes run on the result.
         lut, lutsize = am.resolve_look(p.look_crc)
         if lut is not None:
             rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
-            cube = dm.build_raw_cube(lut, lutsize)
+            if matrix_active or gamma_active:
+                cube = dm.build_raw_cube_developed(
+                    m if matrix_active else None, p.rgb_gamma, 1.0,
+                    lut, lutsize)
+            else:
+                cube = dm.build_raw_cube(lut, lutsize)
             if dm.cube_is_separable(cube):
                 out13 = dm.apply_raw_cube_rgb16_1d(rgb16, cube)
             else:
                 out13 = dm.apply_raw_cube_rgb16_trilinear(rgb16, cube)
+            if vignette_active:
+                out13 = dm.fast_vignette_wp13(out13,
+                                              p.vignette_start - 1.0,
+                                              p.vignette_end - 1.0,
+                                              p.vignette_gain)
+            if sharpen_active:
+                out13 = dm.fast_sharpening_blur_h_wp13(out13,
+                                                       p.blur_sharpen)
+                out13 = dm.fast_sharpening_blur_v_wp13(out13,
+                                                       p.blur_sharpen)
             rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
             return _pack_bayer_rgb(rgb, fourcc)
     if p.enabled and (matrix_active or vignette_active or sharpen_active):

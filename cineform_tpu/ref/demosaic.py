@@ -1294,3 +1294,183 @@ def apply_raw_cube_rgb16_trilinear(rgb16: np.ndarray, cube: np.ndarray,
               >> shift)
         out[..., ch] = (lo * bmd + hi * bm) >> shift
     return out
+
+
+def _curve2lin_table(base: float = 90.0, depth: int = 64) -> np.ndarray:
+    """ComputeCube's float curve2lin table (`Codec/bayer.c:6228-6268`):
+    curve2lin[k] = log2lin(k/(depth-1), base) for k in 0..depth."""
+    k = np.arange(depth + 1, dtype=np.float64)
+    i = (k.astype(np.float32) / np.float32(depth - 1)).astype(np.float64)
+    return ((np.power(base, i) - 1.0) / (base - 1.0)).astype(np.float32)
+
+
+def _lin2curve_table(base: float = 90.0) -> np.ndarray:
+    """lin2curve[j+512] = lin2log(j/512, base) for j in -512..2048
+    (`bayer.c:6274-6310`), float32."""
+    j = np.arange(-512, 2049, dtype=np.float64)
+    i = (j.astype(np.float32) / np.float32(512.0)).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        pos = np.log10(i * (base - 1.0) + 1.0) / np.log10(base)
+        neg = -np.log10(-i * (base - 1.0) + 1.0) / np.log10(base)
+    return np.where(i >= 0.0, pos, neg).astype(np.float32)
+
+
+def _calc_contrast(i: np.ndarray, cntrst: float) -> np.ndarray:
+    """calc_contrast (`Common/AVIExtendedHeader.h:178`), double math."""
+    i = i.astype(np.float64)
+    p = (cntrst - 1.0) * 3.0 + 1.0 if cntrst >= 1.0 else cntrst
+    b6 = np.float32(np.power(0.5, p)).astype(np.float64)
+    b7 = np.float32(0.5 / b6).astype(np.float64)
+    b8 = np.float32(1.0 - 1.0 / p if p > 1.0 else 1.0).astype(np.float64)
+    neg = i * 100.0 * ((0.01 * (1 - b8)) + b8 * (np.power(0.01, p) * b7))
+    lo = (i * (1 - b8)) + b8 * (np.power(np.abs(i), p) * b7)
+    hi = (i * (1 - b8)) + b8 * (1 - np.power(np.abs(1 - i), p) * b7)
+    above = 1 + (i - 1) * 100.0 * (
+        1 - ((0.99 * (1 - b8)) + b8 * (1 - np.power(0.01, p) * b7)))
+    out = np.where(i < 0.0, neg,
+                   np.where(i < 0.5, lo, np.where(i <= 1.0, hi, above)))
+    return out.astype(np.float32)
+
+
+def _gammatweak_table(gamma: float, contrast: float = 1.0) -> np.ndarray:
+    """BuildLUTCurves (`Codec/bayer.c:4746-4810`): per-channel gamma +
+    contrast float table over j = -512..2048 (j/512 = -1..+4), values
+    clamped to [-1, 4]; lin2gam uses the float-cast exponent and the
+    linear negative extension (`AVIExtendedHeader.h:168`)."""
+    j = np.arange(-512, 2049, dtype=np.float64) / 512.0
+    exponent = np.float64(np.float32(1.0 / gamma))
+    pos = np.power(np.abs(j), exponent)
+    neg = j * 100.0 * np.power(0.01, exponent)
+    v = np.where(j >= 0.0, pos, neg).astype(np.float32)
+    if contrast != 1.0:
+        v = _calc_contrast(v, contrast)
+    return np.clip(v, -1.0, 4.0).astype(np.float32)
+
+
+def _lerp512(table: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BuildCube's table interpolation: entry = (int)(v*512)+512 (trunc
+    toward zero), mix = v*512+512 - entry, lerp table[entry..entry+1]."""
+    f32 = np.float32
+    s = (v * f32(512.0)).astype(np.float32)
+    entry = np.trunc(s).astype(np.int64) + 512
+    mix = ((s + f32(512.0)) - entry.astype(np.float32)).astype(np.float32)
+    entry = np.clip(entry, 0, table.size - 2)
+    return (table[entry] * (f32(1.0) - mix)
+            + table[entry + 1] * mix).astype(np.float32)
+
+
+def build_raw_cube_developed(m: np.ndarray | None,
+                             rgb_gamma=(1.0, 1.0, 1.0),
+                             contrast: float = 1.0,
+                             lut: np.ndarray | None = None,
+                             lutsize: int = 0,
+                             curve_base: float = 90.0,
+                             cube_base: int = 6) -> np.ndarray:
+    """BuildCube's change==1 branch (`Codec/bayer.c:4720-5177`): fold
+    the linear develop matrix, per-channel gamma/contrast tweaks, the
+    encode/decode curves and the LOOK LUT into one RawCube.
+
+    Per lattice point (float32 unless noted):
+    - matrix non-unity: rs = curve2lin[idx] * (1 - 2/cube_depth); the
+      negative-cross-term blend guards (`bayer.c:4818-4847`); rf =
+      m[row] . (rs,gs,bs) + off.  Matrix unity: rf = curve2lin[idx].
+    - clamp [-1, 4]; per-channel gammatweak 512-entry lerp when gamma
+      or contrast non-unity; clamp; restore curve via the lin2curve
+      512-entry lerp; optional LOOK LUT float trilinear
+      (LUTscale = size-1-1e-5); RawCube = trunc(rf*8192) to int16."""
+    f32 = np.float32
+    depth = 1 << cube_base
+    n = depth + 1
+    c2l = _curve2lin_table(curve_base, depth)
+    l2c = _lin2curve_table(curve_base)
+    lin_non_unity = m is not None and (
+        np.any(np.asarray(m, np.float32)[:, :3] != np.eye(3, dtype=np.float32))
+        or np.any(np.asarray(m, np.float32)[:, 3]))
+    cg_non_unity = (tuple(rgb_gamma) != (1.0, 1.0, 1.0)) or contrast != 1.0
+
+    b_i, g_i, r_i = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                                indexing='ij')
+    if lin_non_unity:
+        mtx = np.asarray(m, np.float32).reshape(3, 4)
+        scale = f32(f32(1.0) - f32(2.0) / f32(depth))
+        rs = (c2l[r_i] * scale).astype(f32)
+        gs = (c2l[g_i] * scale).astype(f32)
+        bs = (c2l[b_i] * scale).astype(f32)
+
+        def row(ri_, w0, w1, w2, off, own, other1, other2):
+            full = (w0 * rs + w1 * gs + w2 * bs + off).astype(f32)
+            # negative-cross-term guard: blend toward the diagonal-only
+            # result when the cross terms push below -1 on a hot channel
+            cross = {0: w1 * gs + w2 * bs, 1: w0 * rs + w2 * bs,
+                     2: w0 * rs + w1 * gs}[ri_]
+            ownv = (rs, gs, bs)[ri_]
+            diag = ((w0, w1, w2)[ri_] * ownv + off).astype(f32)
+            weight = ((f32(-1.0) - cross) * (ownv - f32(0.8))
+                      * f32(5.0)).astype(f32)
+            weight = np.minimum(weight, f32(1.0))
+            guard = (cross < -1.0) & (ownv > f32(0.8))
+            blend = (diag * weight + full * (f32(1.0) - weight)).astype(f32)
+            return np.where(guard, blend, full).astype(f32)
+
+        rf = row(0, mtx[0, 0], mtx[0, 1], mtx[0, 2], mtx[0, 3], rs, gs, bs)
+        gf = row(1, mtx[1, 0], mtx[1, 1], mtx[1, 2], mtx[1, 3], gs, rs, bs)
+        bf = row(2, mtx[2, 0], mtx[2, 1], mtx[2, 2], mtx[2, 3], bs, rs, gs)
+    else:
+        rf, gf, bf = c2l[r_i], c2l[g_i], c2l[b_i]
+
+    rf = np.clip(rf, f32(-1.0), f32(4.0))
+    gf = np.clip(gf, f32(-1.0), f32(4.0))
+    bf = np.clip(bf, f32(-1.0), f32(4.0))
+
+    if cg_non_unity:
+        # per-channel guard: a unity-gamma channel SKIPS its lerp
+        # entirely (`bayer.c:4953-4972`; its tweak table is never built)
+        chans = [rf, gf, bf]
+        for ci, g in enumerate(rgb_gamma):
+            if g != 1.0 or contrast != 1.0:
+                chans[ci] = _lerp512(_gammatweak_table(g, contrast),
+                                     chans[ci])
+        rf, gf, bf = chans
+
+    rf = np.clip(rf, f32(-1.0), f32(4.0))
+    gf = np.clip(gf, f32(-1.0), f32(4.0))
+    bf = np.clip(bf, f32(-1.0), f32(4.0))
+    rf = _lerp512(l2c, rf)
+    gf = _lerp512(l2c, gf)
+    bf = _lerp512(l2c, bf)
+
+    if lut is not None:
+        L = lut.reshape(lutsize, lutsize, lutsize, 3)
+        scale = f32(f32(lutsize - 1) - f32(0.00001))
+
+        def coord(v):
+            s = (v * scale).astype(f32)
+            src = np.clip(np.trunc(s).astype(np.int64), 0, lutsize - 2)
+            mix = np.clip((s - src.astype(f32)).astype(f32),
+                          f32(-1.0), f32(4.0))
+            return src, mix
+
+        rsrc, rm = coord(rf)
+        gsrc, gm = coord(gf)
+        bsrc, bm = coord(bf)
+        one = f32(1.0)
+
+        def at(db, dg, dr, ch):
+            return L[bsrc + db, gsrc + dg, rsrc + dr, ch]
+
+        out_ch = []
+        for ch in range(3):
+            val = (((at(0, 0, 0, ch) * (one - rm) + at(0, 0, 1, ch) * rm)
+                    * (one - gm)
+                    + (at(0, 1, 0, ch) * (one - rm) + at(0, 1, 1, ch) * rm)
+                    * gm) * (one - bm)
+                   + ((at(1, 0, 0, ch) * (one - rm) + at(1, 0, 1, ch) * rm)
+                      * (one - gm)
+                      + (at(1, 1, 0, ch) * (one - rm)
+                         + at(1, 1, 1, ch) * rm) * gm) * bm).astype(f32)
+            out_ch.append(val)
+        rf, gf, bf = out_ch
+
+    cube = np.stack([rf, gf, bf], axis=-1)
+    q = np.trunc(cube.astype(f32) * f32(8192.0)).astype(np.int64)
+    return np.clip(q, -32768, 32767).astype(np.int16).reshape(-1, 3)

@@ -237,3 +237,22 @@ def test_bayer_look_lut_cflook_file_byte_exact(monkeypatch, tmp_path):
     sample = _golden("byr4_look_cflook_96x64_q4.cfhd")
     assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
         _golden("byr4_look_cflook_96x64_q4.rg48out")
+
+
+def test_bayer_composed_develop_cube_byte_exact():
+    """With a LOOK active the WHOLE develop folds into one RawCube
+    (BuildCube's change==1 branch, `Codec/bayer.c:4768-4977`): the
+    encode-curve float table (curve2lin, log2lin over k/63), the
+    (1 - 2/64)-scaled linear matrix with its negative-cross-term blend
+    guards, per-channel gamma-tweak 512-entry lerps (unity channels
+    skipped), the lin2curve restore lerp, then the float trilinear LOOK
+    sample — truncated to int16 at *8192.  Byte-exact vs the binary:
+
+    - COLM + Protune look (non-separable cube -> integer trilinear)
+    - GAMT + Protune look
+    - the FULL combination: COLM + GAMT + look + vignette + BLSH
+      (cube apply, then vignette, then both sharpen passes)"""
+    for g in ("byr4_colm_look", "byr4_gamt_look", "byr4_full_develop"):
+        sample = _golden(f"{g}_96x64_q4.cfhd")
+        assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+            _golden(f"{g}_96x64_q4.rg48out"), g
