@@ -42,6 +42,7 @@ class DevelopParams:
     exposure: float = 1.0                    # EXPS (payload value)
     look_crc: int = 0
     gamma: float = 1.0
+    contrast: float = 1.0           # CTRS (effective value)
     rgb_gamma: tuple = (1.0, 1.0, 1.0)       # GAMT per-channel tweaks
     flags: int = 0
 
@@ -96,6 +97,11 @@ def develop_params(sample: bytes,
             p.vignette_gain = float(_floats(item, 1)[0])
         elif tag == "BLSH" and len(item.payload) >= 4:
             p.blur_sharpen = float(_floats(item, 1)[0])
+        elif tag == "CTRS" and len(item.payload) >= 4:
+            # stored unity-at-0 (tag - 1, clamp [-1, 10]); the decode
+            # uses stored + 1 (`DemoasicFrames.cpp:6045`, bayer.c:4562)
+            p.contrast = float(np.clip(_floats(item, 1)[0] - 1.0,
+                                       -1.0, 10.0) + 1.0)
         elif tag == "GAMT" and len(item.payload) >= 4:
             n = min(len(item.payload) // 4, 3)
             vals = [float(np.clip(v, 0.01, 10.0)) for v in _floats(item, n)]
@@ -123,6 +129,7 @@ def develop_params(sample: bytes,
     if not (p.flags & PROCESSING_GAMMA_TWEAKS):
         p.gamma = 1.0
         p.rgb_gamma = (1.0, 1.0, 1.0)
+        p.contrast = 1.0
     return p
 
 

@@ -743,7 +743,8 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
     m = dm.compose_develop_matrix(
         p.matrix, p.saturation, p.exposure,
         p.wb if tuple(p.wb) != (1.0, 1.0, 1.0) else None)
-    gamma_active = p.enabled and tuple(p.rgb_gamma) != (1.0, 1.0, 1.0)
+    gamma_active = p.enabled and (tuple(p.rgb_gamma) != (1.0, 1.0, 1.0)
+                                  or p.contrast != 1.0)
     vignette_active = p.enabled and p.vignette_start != 0.0
     sharpen_active = p.enabled and p.blur_sharpen != 0.0
     matrix_active = bool(np.any(m[:, :3] != np.eye(3)) or np.any(m[:, 3]))
@@ -765,7 +766,7 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
             rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
             if matrix_active or gamma_active:
                 cube = dm.build_raw_cube_developed(
-                    m if matrix_active else None, p.rgb_gamma, 1.0,
+                    m if matrix_active else None, p.rgb_gamma, p.contrast,
                     lut, lutsize)
             else:
                 cube = dm.build_raw_cube(lut, lutsize)
@@ -812,7 +813,7 @@ def decode_sample_bayer_to(sample: bytes, fourcc: str) -> bytes:
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     elif gamma_active:
         rgb16 = dm.demosaic_raw_rg48(G, RG, BG, GD)
-        out13 = dm.apply_gamma_tweaks(rgb16, p.rgb_gamma)
+        out13 = dm.apply_gamma_tweaks(rgb16, p.rgb_gamma, p.contrast)
         rgb = np.clip(out13 << 3, 0, 65535).astype(np.uint16)
     else:
         rgb = dm.demosaic_raw_rg48(G, RG, BG, GD)

@@ -642,25 +642,31 @@ def compose_develop_matrix(colm=None, saturation: float = 1.0,
     return m.astype(np.float64)
 
 
-def gamma_contrast_lut(gamma: float = 1.0) -> np.ndarray:
+def gamma_contrast_lut(gamma: float = 1.0,
+                       contrast: float = 1.0) -> np.ndarray:
     """decoder->GammaContrastRed/Grn/Blu (Build1DLinear2Curves cg branch,
-    bayer.c:5322-5345): 65536-entry signed 13-bit gamma tweak table.
-    The gamma parameter is a C float: the exponent is 1.0/(double)(float)g."""
+    bayer.c:5322-5345): 65536-entry signed 13-bit gamma tweak table —
+    lin2gam (exponent 1.0/(double)(float)g, linear negative extension),
+    then calc_contrast when contrast != 1, *8192 float truncation."""
     gf = float(np.float32(gamma))
     j = np.arange(65536, dtype=np.float64)
     intensity = (j - 16384.0).astype(np.float32)
     x = (intensity / np.float32(8192.0)).astype(np.float64)
-    v = np.where(x >= 0, np.power(np.maximum(x, 0), 1.0 / gf),
-                 -np.power(np.maximum(-x, 0), 1.0 / gf)).astype(np.float32)
-    val = (v * np.float32(8192.0)).astype(np.float32)
+    exponent = np.float64(np.float32(1.0 / gf))
+    v = np.where(x >= 0, np.power(np.maximum(x, 0), exponent),
+                 x * 100.0 * np.power(0.01, exponent)).astype(np.float32)
+    if contrast != 1.0:
+        v = _calc_contrast(v, contrast)
+    val = (v.astype(np.float32) * np.float32(8192.0)).astype(np.float32)
     return np.clip(np.trunc(val).astype(np.int64), -16384, 32767)
 
 
-def apply_gamma_tweaks(rgb16: np.ndarray, rgb_gamma) -> np.ndarray:
+def apply_gamma_tweaks(rgb16: np.ndarray, rgb_gamma,
+                       contrast: float = 1.0) -> np.ndarray:
     """The no-matrix gamma-tweaks branch of CURVES_PROCESSING_MACRO:
     out13 = GammaContrast_c[(v16 >> 3) + 16384] per channel."""
     v13 = rgb16.astype(np.int64) >> 3
-    return np.stack([gamma_contrast_lut(g)[v13[..., c] + 16384]
+    return np.stack([gamma_contrast_lut(g, contrast)[v13[..., c] + 16384]
                      for c, g in enumerate(rgb_gamma)], axis=-1)
 
 

@@ -256,3 +256,16 @@ def test_bayer_composed_develop_cube_byte_exact():
         sample = _golden(f"{g}_96x64_q4.cfhd")
         assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
             _golden(f"{g}_96x64_q4.rg48out"), g
+
+
+def test_bayer_contrast_develop_byte_exact():
+    """CTRS contrast (TAG_CONTRAST, `DemoasicFrames.cpp:6035`: stored
+    unity-at-0 as tag-1 clamped [-1,10], effective = stored+1,
+    `bayer.c:4562`; gated by the GAMMA_TWEAKS PRCS bit) — byte-exact via
+    both engines: the 1D GammaContrast tables (lin2gam then
+    calc_contrast then *8192 trunc, `bayer.c:5322-5345`) standalone and
+    with GAMT, and the composed RawCube when a LOOK is active."""
+    for g in ("byr4_ctrs", "byr4_ctrs_gamt", "byr4_ctrs_look"):
+        sample = _golden(f"{g}_96x64_q4.cfhd")
+        assert intra_host.decode_sample_bayer_to(sample, "RG48") == \
+            _golden(f"{g}_96x64_q4.rg48out"), g
